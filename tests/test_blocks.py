@@ -1,0 +1,239 @@
+"""Unit tests for the packed block-matrix core.
+
+Mirrors the reference's structured-matrix test tier
+(reference tests/test.py:28-477): every operation validated against dense
+numpy ground truth on small random symmetric matrices, including permutation
+semantics, missing-index zero semantics, pseudo-inverse behavior, and rank
+conventions.
+"""
+import numpy as np
+import pytest
+
+from vilma_tpu.ops import blocks, lowrank
+
+
+def random_symmetric(n, rng, rank=None):
+    if rank is None:
+        rank = n
+    a = rng.standard_normal((n, rank))
+    return a @ a.T / rank
+
+
+def test_eigh_threshold_reconstructs():
+    rng = np.random.default_rng(0)
+    x = random_symmetric(5, rng)
+    u, s = lowrank.eigh_threshold(x, 1.0)
+    # ldthresh=1 keeps everything nonnegative; x is PSD so full reconstruction
+    assert np.allclose((u * s) @ u.T, x)
+
+
+def test_eigh_threshold_truncates():
+    rng = np.random.default_rng(1)
+    x = random_symmetric(6, rng)
+    for t in [0.99, 0.9, 0.5, 0.1]:
+        u, s = lowrank.eigh_threshold(x, t)
+        assert np.all(s >= 1 - np.sqrt(t))
+
+
+def test_eigh_threshold_sentinel():
+    # matrix with all eigenvalues below threshold -> rank-0 sentinel
+    x = np.eye(4) * 1e-6
+    u, s = lowrank.eigh_threshold(x, 0.5)
+    assert u.shape == (4, 1)
+    assert np.allclose(s, 0)
+
+
+def test_rank_conventions():
+    rng = np.random.default_rng(2)
+    x = random_symmetric(5, rng, rank=3)
+    f = lowrank.factor_block(X=x, t=1.0)
+    assert f.rank == np.linalg.matrix_rank(x, tol=1e-8)
+    sentinel = lowrank.factor_block(X=np.eye(4) * 1e-8, t=0.5)
+    assert sentinel.rank == 0
+
+
+def test_factor_requires_symmetric():
+    with pytest.raises(ValueError):
+        lowrank.factor_block(X=np.arange(9.).reshape(3, 3))
+
+
+def test_factor_rejects_both_inputs():
+    with pytest.raises(ValueError):
+        lowrank.factor_block(X=np.eye(2), u=np.eye(2))
+    with pytest.raises(ValueError):
+        lowrank.factor_block(u=np.eye(2))
+
+
+def _make_packed(rng, sizes, n=None, permute=True, t=1.0):
+    """Build dense ground truth + PackedLD with a random permutation."""
+    total = sum(sizes)
+    if n is None:
+        n = total + 3   # leave 3 missing indices
+    order = rng.permutation(n) if permute else np.arange(n)
+    idx_lists, dense_blocks = [], []
+    off = 0
+    for sz in sizes:
+        dense_blocks.append(random_symmetric(sz, rng))
+        idx_lists.append(order[off:off + sz])
+        off += sz
+    ld = blocks.from_dense_blocks(dense_blocks, idx_lists, n, t=t)
+    dense = np.zeros((n, n))
+    for x, ix in zip(dense_blocks, idx_lists):
+        dense[np.ix_(ix, ix)] = x
+    return ld, dense, order[total:]
+
+
+def test_dot_matches_dense():
+    rng = np.random.default_rng(3)
+    ld, dense, missing = _make_packed(rng, [5, 3, 7])
+    v = rng.standard_normal(dense.shape[0])
+    assert np.allclose(np.asarray(ld.dot(v)), dense @ v)
+
+
+def test_dot_mixed_bucket_sizes():
+    rng = np.random.default_rng(4)
+    ld, dense, _ = _make_packed(rng, [2, 9, 33, 5])
+    assert len(ld.buckets) >= 2
+    v = rng.standard_normal(dense.shape[0])
+    assert np.allclose(np.asarray(ld.dot(v)), dense @ v)
+
+
+def test_dot_missing_rows_are_zero():
+    rng = np.random.default_rng(5)
+    ld, dense, missing = _make_packed(rng, [4, 4])
+    v = rng.standard_normal(dense.shape[0])
+    out = np.asarray(ld.dot(v))
+    assert np.allclose(out[list(missing)], 0)
+    assert sorted(ld.missing) == sorted(missing.tolist())
+
+
+def test_dot_i():
+    rng = np.random.default_rng(6)
+    ld, dense, _ = _make_packed(rng, [5, 3])
+    v = rng.standard_normal(dense.shape[0])
+    for i in range(dense.shape[0]):
+        assert np.allclose(float(ld.dot_i(v, i)), (dense @ v)[i])
+
+
+def test_diag():
+    rng = np.random.default_rng(7)
+    ld, dense, _ = _make_packed(rng, [5, 6])
+    assert np.allclose(np.asarray(ld.diag()), np.diag(dense))
+
+
+def test_inverse_dot_pseudoinverse():
+    rng = np.random.default_rng(8)
+    # include a rank-deficient block: pinv semantics
+    ld, dense, _ = _make_packed(rng, [5, 4])
+    v = rng.standard_normal(dense.shape[0])
+    expect = np.linalg.pinv(dense, hermitian=True) @ v
+    assert np.allclose(np.asarray(ld.inverse.dot(v)), expect, atol=1e-8)
+
+
+def test_inverse_dot_singular_block():
+    rng = np.random.default_rng(9)
+    x = random_symmetric(5, rng, rank=2)   # singular block
+    ld = blocks.from_dense_blocks([x], [np.arange(5)], 5)
+    v = rng.standard_normal(5)
+    expect = np.linalg.pinv(x, hermitian=True) @ v
+    assert np.allclose(np.asarray(ld.inverse.dot(v)), expect, atol=1e-8)
+
+
+def test_ridge_inverse_dot_scalar_and_vector():
+    rng = np.random.default_rng(10)
+    ld, dense, missing = _make_packed(rng, [5, 3, 8])
+    n = dense.shape[0]
+    v = rng.standard_normal(n)
+    for reg in [0.5, rng.uniform(0.1, 1.0, size=n)]:
+        got = np.asarray(ld.ridge_inverse_dot(v, reg))
+        regv = np.zeros(n) + reg
+        expect = np.zeros(n)
+        live = np.setdiff1d(np.arange(n), missing)
+        sub = dense[np.ix_(live, live)] + np.diag(regv[live])
+        expect[live] = np.linalg.solve(sub, v[live])
+        assert np.allclose(got, expect, atol=1e-8)
+        assert np.allclose(got[list(missing)], 0)
+
+
+def test_ridge_inverse_dot_truncated():
+    # after eigenvalue truncation the block is low-rank + ridge: Woodbury path
+    rng = np.random.default_rng(11)
+    x = random_symmetric(6, rng)
+    f = lowrank.factor_block(X=x, t=0.5)
+    ld = blocks.pack([f], [np.arange(6)], 6)
+    v = rng.standard_normal(6)
+    approx = f.dense()
+    expect = np.linalg.solve(approx + 0.3 * np.eye(6), v)
+    got = np.asarray(ld.ridge_inverse_dot(v, 0.3))
+    assert np.allclose(got, expect, atol=1e-8)
+
+
+def test_matrix_power():
+    rng = np.random.default_rng(12)
+    ld, dense, missing = _make_packed(rng, [5, 4])
+    v = rng.standard_normal(dense.shape[0])
+    sq = ld.matrix_power(2)
+    assert np.allclose(np.asarray(sq.dot(v)), dense @ dense @ v)
+    half = ld.matrix_power(0.5)
+    assert np.allclose(np.asarray(half.dot(np.asarray(half.dot(v)))),
+                       dense @ v, atol=1e-8)
+
+
+def test_get_rank():
+    rng = np.random.default_rng(13)
+    full = random_symmetric(5, rng)
+    lowr = random_symmetric(6, rng, rank=2)
+    ld = blocks.from_dense_blocks([full, lowr],
+                                  [np.arange(5), np.arange(5, 11)], 12)
+    assert ld.get_rank() == 5 + 2
+
+
+def test_rank_monotone_in_threshold():
+    rng = np.random.default_rng(14)
+    x = random_symmetric(8, rng)
+    ranks = []
+    for t in [1.0, 0.9, 0.5, 0.1, 0.01]:
+        f = lowrank.factor_block(X=x, t=t)
+        ranks.append(f.rank)
+    assert all(a >= b for a, b in zip(ranks, ranks[1:]))
+
+
+def test_inverted_not_implemented_contracts():
+    rng = np.random.default_rng(15)
+    ld, dense, _ = _make_packed(rng, [4])
+    inv = ld.inverse
+    with pytest.raises(NotImplementedError):
+        inv.dot_i(np.ones(dense.shape[0]), 0)
+    with pytest.raises(NotImplementedError):
+        inv.ridge_inverse_dot(np.ones(dense.shape[0]), 1.0)
+    with pytest.raises(NotImplementedError):
+        inv.diag()
+    # double inversion round-trips
+    v = rng.standard_normal(dense.shape[0])
+    assert np.allclose(np.asarray(inv.inverse.dot(v)), np.asarray(ld.dot(v)))
+
+
+def test_pack_rejects_duplicates():
+    with pytest.raises(ValueError):
+        blocks.from_dense_blocks([np.eye(2), np.eye(2)],
+                                 [np.array([0, 1]), np.array([1, 2])], 4)
+
+
+def test_to_dense_roundtrip():
+    rng = np.random.default_rng(16)
+    ld, dense, _ = _make_packed(rng, [3, 5])
+    assert np.allclose(blocks.to_dense(ld), dense)
+
+
+def test_packed_is_jittable():
+    import jax
+
+    rng = np.random.default_rng(17)
+    ld, dense, _ = _make_packed(rng, [5, 3])
+    v = rng.standard_normal(dense.shape[0])
+
+    @jax.jit
+    def f(ld, v):
+        return blocks.dot(ld, v)
+
+    assert np.allclose(np.asarray(f(ld, v)), dense @ v)

@@ -1,0 +1,168 @@
+"""Closed-form algebra for the variational covariances vi_sigma.
+
+In the reference, the per-SNP/per-component variational covariance
+
+    vi_sigma[k,:,:,i] = inv( mixture_prec[k] + diag(scaled_ld_diags[:,i]
+                                                    / error_scaling) )
+
+is materialized as a [K,P,P,I] array (reference
+variational_inference.py:712-733) — tens of GB at genome scale. It is,
+however, a deterministic function of K PxP precision matrices and a [P,I]
+diagonal, so on TPU we never materialize it: every contraction against
+vi_sigma is expressed with closed-form PxP inverses (P = #populations is
+1-3 in practice) fused into the consuming kernel, keeping HBM traffic at
+O(K*P*I) instead of O(K*P^2*I). SURVEY.md section 7.3 item 5.
+
+Functions take `diag_term` = scaled_ld_diags / error_scaling[:, None]
+([P, I]) and `mixture_prec` ([K, P, P]).
+"""
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class SigmaSummaries:
+    """Precomputed O(K*I) summaries of vi_sigma, refreshed whenever
+    error_scaling changes (reference _set_vi_sigma,
+    variational_inference.py:712-733)."""
+    log_det_sigma: jnp.ndarray    # [K, I]  log det vi_sigma
+    sigma_summary: jnp.ndarray    # [I, K]  logdet prior - logdet sigma + trace match
+    diag: jnp.ndarray             # [K, P, I] diagonal of vi_sigma
+    matches: jnp.ndarray          # [I, K]  trace(mixture_prec[k] @ sigma[k,i])
+
+
+jax.tree_util.register_dataclass(
+    SigmaSummaries,
+    data_fields=('log_det_sigma', 'sigma_summary', 'diag', 'matches'),
+    meta_fields=(),
+)
+
+
+def _precision_parts(mixture_prec, diag_term):
+    """Split the per-(k,i) precision into reusable [K,I] component arrays."""
+    K, P, _ = mixture_prec.shape
+    if P == 1:
+        a = mixture_prec[:, 0, 0][:, None] + diag_term[0][None, :]   # [K,I]
+        return (a,)
+    if P == 2:
+        a = mixture_prec[:, 0, 0][:, None] + diag_term[0][None, :]
+        b = mixture_prec[:, 0, 1][:, None] + jnp.zeros_like(diag_term[0])
+        d = mixture_prec[:, 1, 1][:, None] + diag_term[1][None, :]
+        return (a, b, d)
+    raise NotImplementedError
+
+
+def _use_closed_form(P):
+    return P <= 2
+
+
+def apply_precision(mixture_prec, diag_term, x):
+    """(mixture_prec[k] + diag(diag_term[:,i])) @ x[k,:,i] -> [K,P,I].
+
+    This is the reference's fast_nat_inner_product_m2(vi_mu, nat_sigma)
+    with nat_sigma = -precision/2 (numerics.py:68-80): the -2 and -1/2
+    cancel, so old natural means are just precision @ vi_mu.
+    """
+    return (jnp.einsum('kpq,kqi->kpi', mixture_prec, x)
+            + diag_term[None, :, :] * x)
+
+
+def apply_sigma(mixture_prec, diag_term, x):
+    """vi_sigma[k,:,:,i] @ x[k,:,i] -> [K,P,I] via closed-form solves."""
+    P = mixture_prec.shape[1]
+    if _use_closed_form(P):
+        parts = _precision_parts(mixture_prec, diag_term)
+        if P == 1:
+            (a,) = parts
+            return (x[:, 0, :] / a)[:, None, :]
+        a, b, d = parts
+        det = a * d - b * b
+        x0, x1 = x[:, 0, :], x[:, 1, :]
+        y0 = (d * x0 - b * x1) / det
+        y1 = (a * x1 - b * x0) / det
+        return jnp.stack([y0, y1], axis=1)
+    # generic fallback: batched PxP solve (materializes [K,I,P,P])
+    prec = _dense_precision(mixture_prec, diag_term)
+    rhs = jnp.transpose(x, (0, 2, 1))[..., None]           # [K,I,P,1]
+    sol = jnp.linalg.solve(prec, rhs)[..., 0]              # [K,I,P]
+    return jnp.transpose(sol, (0, 2, 1))
+
+
+def _dense_precision(mixture_prec, diag_term):
+    K, P, _ = mixture_prec.shape
+    eye = jnp.eye(P, dtype=mixture_prec.dtype)
+    return (mixture_prec[:, None, :, :]
+            + eye * jnp.transpose(diag_term, (1, 0))[None, :, :, None])
+
+
+def make_summaries(mixture_prec, log_det_prior, diag_term):
+    """Build the O(K*I) vi_sigma summaries.
+
+    log_det_prior: [K] log-determinants of the prior mixture covariances
+    (note: of the covariances, i.e. -logdet(mixture_prec), matching
+    reference MultiPopVI.log_det, variational_inference.py:624-626).
+    """
+    P = mixture_prec.shape[1]
+    if _use_closed_form(P):
+        parts = _precision_parts(mixture_prec, diag_term)
+        if P == 1:
+            (a,) = parts
+            log_det_sigma = -jnp.log(a)                       # [K,I]
+            diag = (1.0 / a)[:, None, :]                      # [K,1,I]
+            matches = (mixture_prec[:, 0, 0][:, None] / a).T  # [I,K]
+        else:
+            a, b, d = parts
+            det = a * d - b * b
+            log_det_sigma = -jnp.log(det)
+            diag = jnp.stack([d / det, a / det], axis=1)      # [K,2,I]
+            p00 = mixture_prec[:, 0, 0][:, None]
+            p01 = mixture_prec[:, 0, 1][:, None]
+            p11 = mixture_prec[:, 1, 1][:, None]
+            matches = ((p00 * d - 2 * p01 * b + p11 * a) / det).T
+    else:
+        prec = _dense_precision(mixture_prec, diag_term)      # [K,I,P,P]
+        sigma = jnp.linalg.inv(prec)
+        log_det_sigma = -jnp.linalg.slogdet(prec)[1]          # [K,I]
+        diag = jnp.transpose(jnp.diagonal(sigma, axis1=-2, axis2=-1),
+                             (0, 2, 1))                       # [K,P,I]
+        matches = jnp.einsum('kpq,kiqp->ik', mixture_prec, sigma)
+    sigma_summary = (log_det_prior[None, :] - log_det_sigma.T + matches)
+    return SigmaSummaries(log_det_sigma=log_det_sigma,
+                          sigma_summary=sigma_summary,
+                          diag=diag,
+                          matches=matches)
+
+
+def sigma_weighted_sum(mixture_prec, diag_term, vi_delta):
+    """sum_k vi_delta[i,k] * vi_sigma[k,:,:,i] -> [I,P,P].
+
+    Used only at initialization (reference variational_inference.py:681-684).
+    """
+    P = mixture_prec.shape[1]
+    if _use_closed_form(P):
+        parts = _precision_parts(mixture_prec, diag_term)
+        if P == 1:
+            (a,) = parts
+            out = jnp.einsum('ik,ki->i', vi_delta, 1.0 / a)
+            return out[:, None, None]
+        a, b, d = parts
+        det = a * d - b * b
+        s00 = jnp.einsum('ik,ki->i', vi_delta, d / det)
+        s01 = jnp.einsum('ik,ki->i', vi_delta, -b / det)
+        s11 = jnp.einsum('ik,ki->i', vi_delta, a / det)
+        row0 = jnp.stack([s00, s01], axis=-1)
+        row1 = jnp.stack([s01, s11], axis=-1)
+        return jnp.stack([row0, row1], axis=-2)               # [I,2,2]
+    prec = _dense_precision(mixture_prec, diag_term)
+    sigma = jnp.linalg.inv(prec)                              # [K,I,P,P]
+    return jnp.einsum('ik,kipq->ipq', vi_delta, sigma)
+
+
+def materialize_sigma(mixture_prec, diag_term):
+    """Dense [K,P,P,I] vi_sigma — only for checkpoint/output parity with the
+    reference's saved `vi_sigma` array (vi_options.py:264) and for tests."""
+    prec = _dense_precision(mixture_prec, diag_term)          # [K,I,P,P]
+    sigma = jnp.linalg.inv(prec)
+    return jnp.transpose(sigma, (0, 2, 3, 1))

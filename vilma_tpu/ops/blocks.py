@@ -1,0 +1,346 @@
+"""HBM-resident packed block-diagonal LD tensors.
+
+The reference stores LD as a Python list of per-block low-rank objects and
+loops over them on the host (reference matrix_structures.py:237-447). On TPU
+that design serializes into thousands of tiny kernels; instead we pack blocks
+into a small number of *buckets* of padded dense tensors:
+
+    u: [B, Pmax, Rmax]   eigenvectors (rows past a block's size are zero)
+    s: [B, Rmax]         eigenvalues  (entries past a block's rank are zero)
+    inv_s: [B, Rmax]     reference-style pseudo-inverse of s
+    d: [B, Pmax]         diagonal component
+    perm: [B, Pmax]      genome index of each block row (pads -> n, a
+                         sentinel one-past-the-end slot)
+
+so that every block operation is a single batched einsum per bucket —
+large, static-shaped contractions XLA tiles onto the MXU — and the
+permutation/missing semantics of the reference (matrix_structures.py:246-331)
+are implemented with one gather + one scatter against genome-ordered vectors.
+
+All public ops are pure functions of a PackedLD pytree and are safe to use
+inside jit/shard_map. Blocks are embarrassingly independent, so sharding the
+bucket axis across a device mesh parallelizes everything; cross-device work
+is only the gather/scatter of the genome-order vector.
+"""
+import dataclasses
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vilma_tpu.ops import lowrank
+
+
+# Block sizes are padded up to one of these tiers (then buckets group blocks
+# sharing a tier). 8 = f32 sublane size; larger tiers are powers of two so at
+# most ~2x padding waste.
+_SIZE_TIERS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384)
+
+
+def _pad_to_tier(n):
+    for t in _SIZE_TIERS:
+        if n <= t:
+            return t
+    raise ValueError(f'LD block of size {n} exceeds the maximum supported '
+                     f'block size {_SIZE_TIERS[-1]}')
+
+
+def _pad_rank(r):
+    return max(8, int(-(-r // 8) * 8))
+
+
+@dataclass(frozen=True)
+class BlockBucket:
+    """One bucket of equally-padded LD blocks (see module docstring)."""
+    u: jnp.ndarray        # [B, Pmax, Rmax]
+    s: jnp.ndarray        # [B, Rmax]
+    inv_s: jnp.ndarray    # [B, Rmax]
+    d: jnp.ndarray        # [B, Pmax]
+    perm: jnp.ndarray     # [B, Pmax] int32, pads -> n_total
+
+    @property
+    def num_blocks(self):
+        return self.u.shape[0]
+
+    @property
+    def pmax(self):
+        return self.u.shape[1]
+
+    @property
+    def rmax(self):
+        return self.u.shape[2]
+
+
+jax.tree_util.register_dataclass(
+    BlockBucket,
+    data_fields=('u', 's', 'inv_s', 'd', 'perm'),
+    meta_fields=(),
+)
+
+
+@dataclass(frozen=True)
+class PackedLD:
+    """A symmetric block-diagonal matrix in packed bucket form.
+
+    Equivalent of the reference BlockDiagonalMatrix
+    (matrix_structures.py:237-447): implicit zero rows/columns for `missing`
+    genome indices, arbitrary genome<->block permutation, lazy inverse flag.
+
+    Static metadata (not traced): n, inverted, has_diag, rank, missing.
+    """
+    buckets: tuple            # tuple[BlockBucket]
+    n: int                    # total number of genome indices (incl. missing)
+    inverted: bool
+    has_diag: bool            # True if any block has a nonzero diagonal part
+    rank: float               # sum of per-block ranks (reference get_rank)
+    missing: tuple            # genome indices with no LD block (sorted ints)
+
+    @property
+    def shape(self):
+        return (self.n, self.n)
+
+    # ---- convenience API mirroring the reference class -------------------
+    def dot(self, vector):
+        return inverse_dot(self, vector) if self.inverted else dot(self, vector)
+
+    def dot_i(self, vector, i):
+        if self.inverted:
+            raise NotImplementedError('dot_i with inverted matrices '
+                                      'has not been implemented yet.')
+        return dot(self, vector)[i]
+
+    def ridge_inverse_dot(self, vector, regularizer):
+        if self.inverted:
+            raise NotImplementedError('ridge_inverse_dot with inverted '
+                                      'matrices has not been implemented '
+                                      'yet.')
+        return ridge_inverse_dot(self, vector, regularizer)
+
+    def diag(self):
+        if self.inverted:
+            raise NotImplementedError('Getting the diagonal of an '
+                                      'inverted matrix has not been '
+                                      'implemented yet.')
+        return diag(self)
+
+    def matrix_power(self, power):
+        return matrix_power(self, power)
+
+    @property
+    def inverse(self):
+        return dataclasses.replace(self, inverted=not self.inverted)
+
+    def get_rank(self):
+        return self.rank
+
+
+jax.tree_util.register_dataclass(
+    PackedLD,
+    data_fields=('buckets',),
+    meta_fields=('n', 'inverted', 'has_diag', 'rank', 'missing'),
+)
+
+
+def pack(factors, block_indices, n, dtype=np.float64):
+    """Pack per-block factors into a PackedLD.
+
+    Args:
+        factors: list of lowrank.LowRankFactor, one per LD block.
+        block_indices: list of int arrays; block_indices[b] gives the genome
+            index of each row of block b (the reference's `perm` split by
+            block, load.py:324,345).
+        n: total number of genome indices. Indices not covered by any block
+            are `missing` (implicit zeros, matrix_structures.py:296-299).
+        dtype: element type for the packed tensors.
+    """
+    if len(factors) != len(block_indices):
+        raise ValueError('factors and block_indices must align')
+    covered = (np.concatenate([np.asarray(ix) for ix in block_indices])
+               if block_indices else np.array([], dtype=np.int64))
+    if covered.size != np.unique(covered).size:
+        raise ValueError('block_indices assign a genome index to two blocks')
+    if covered.size and (covered.min() < 0 or covered.max() >= n):
+        raise ValueError('block index out of range')
+    missing = tuple(sorted(set(range(n)) - set(covered.tolist())))
+
+    groups = {}
+    for f, ix in zip(factors, block_indices):
+        ix = np.asarray(ix, dtype=np.int32)
+        if f.n != ix.shape[0]:
+            raise ValueError('factor size does not match its index list')
+        key = (_pad_to_tier(f.n), _pad_rank(f.r))
+        groups.setdefault(key, []).append((f, ix))
+
+    buckets = []
+    for (pmax, rmax), items in sorted(groups.items()):
+        B = len(items)
+        u = np.zeros((B, pmax, rmax), dtype=dtype)
+        s = np.zeros((B, rmax), dtype=dtype)
+        inv_s = np.zeros((B, rmax), dtype=dtype)
+        d = np.zeros((B, pmax), dtype=dtype)
+        perm = np.full((B, pmax), n, dtype=np.int32)
+        for b, (f, ix) in enumerate(items):
+            u[b, :f.n, :f.r] = f.u
+            s[b, :f.r] = f.s
+            # reference inv_s semantics (matrix_structures.py:140-145):
+            # 1/s for kept eigenvalues, 0 for the rank-0 sentinel.
+            with np.errstate(divide='ignore'):
+                iv = np.where(f.s > 0, 1.0 / np.where(f.s > 0, f.s, 1.0), 0.0)
+            inv_s[b, :f.r] = iv
+            d[b, :f.n] = f.d
+            perm[b, :f.n] = ix
+        buckets.append(BlockBucket(u=jnp.asarray(u), s=jnp.asarray(s),
+                                   inv_s=jnp.asarray(inv_s),
+                                   d=jnp.asarray(d),
+                                   perm=jnp.asarray(perm)))
+
+    has_diag = any(not np.allclose(f.d, 0) for f in factors)
+    rank = float(sum(f.rank for f in factors))
+    return PackedLD(buckets=tuple(buckets), n=n, inverted=False,
+                    has_diag=has_diag, rank=rank, missing=missing)
+
+
+def from_dense_blocks(blocks, block_indices, n, t=1.0, dtype=np.float64):
+    """Convenience: factor dense symmetric blocks then pack them."""
+    factors = [lowrank.factor_block(X=b, t=t) for b in blocks]
+    return pack(factors, block_indices, n, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# Core ops. Each gathers genome-order vectors into bucket layout, runs one
+# batched contraction per bucket, and scatter-adds results back. The extra
+# sentinel slot at index n absorbs all padding reads (zeros) and writes.
+# ---------------------------------------------------------------------------
+
+def _extend(vector, pad_value=0.0):
+    pad = jnp.full(vector.shape[:-1] + (1,), pad_value, vector.dtype)
+    return jnp.concatenate([vector, pad], axis=-1)
+
+
+def _scatter_accumulate(parts, n, dtype):
+    """parts: list of (perm [B,P], values [B,P]) -> genome vector [n]."""
+    out = jnp.zeros(n + 1, dtype=dtype)
+    for perm, vals in parts:
+        out = out.at[perm.reshape(-1)].add(vals.reshape(-1),
+                                           mode='drop')
+    return out[:n]
+
+
+def dot(ld, vector):
+    """Matrix @ vector (reference matrix_structures.py:389-408)."""
+    x_ext = _extend(vector)
+    parts = []
+    for bk in ld.buckets:
+        xb = x_ext[bk.perm]                                   # [B, P]
+        t = jnp.einsum('bpr,bp->br', bk.u, xb) * bk.s         # [B, R]
+        yb = jnp.einsum('bpr,br->bp', bk.u, t) + bk.d * xb
+        parts.append((bk.perm, yb))
+    return _scatter_accumulate(parts, ld.n, vector.dtype)
+
+
+def inverse_dot(ld, vector):
+    """PseudoInverse(Matrix) @ vector.
+
+    Implements the reference's per-block inverse_dot
+    (matrix_structures.py:159-196). The hot path (all fit invocations) has
+    d == 0 per block, where the pseudo-inverse is u @ (inv_s * (u.T @ v)).
+    Blocks with an invertible diagonal use Woodbury. The mixed/singular-d
+    case (dense reconstruct + pinv) has no jittable equivalent and cannot
+    occur for LD matrices loaded from schemas (d is always 0 there).
+    """
+    if ld.has_diag:
+        raise NotImplementedError(
+            'inverse_dot for blocks with nonzero diagonal components: use '
+            'ridge_inverse_dot, or reconstruct densely on the host.')
+    x_ext = _extend(vector)
+    parts = []
+    for bk in ld.buckets:
+        xb = x_ext[bk.perm]
+        t = jnp.einsum('bpr,bp->br', bk.u, xb) * bk.inv_s
+        yb = jnp.einsum('bpr,br->bp', bk.u, t)
+        parts.append((bk.perm, yb))
+    return _scatter_accumulate(parts, ld.n, vector.dtype)
+
+
+def ridge_inverse_dot(ld, vector, regularizer):
+    """Inverse(Matrix + diag(regularizer)) @ vector via per-block Woodbury.
+
+    Matches reference BlockDiagonalMatrix.ridge_inverse_dot
+    (matrix_structures.py:349-387) + LowRankMatrix.inverse_dot Woodbury
+    branch (matrix_structures.py:187-196), including the reference's use of
+    diag(inv_s) (with inv_s == 0 for rank-0 sentinel blocks) rather than a
+    true S^{-1}. Requires the regularized diagonal to be invertible, which
+    holds whenever regularizer > 0 (the only use in the fit path,
+    variational_inference.py:248-251).
+    """
+    reg = jnp.zeros_like(vector) + regularizer
+    x_ext = _extend(vector)
+    # pad slots read regularizer 1.0 so divisions stay finite; their u rows
+    # are zero so they contribute nothing.
+    r_ext = _extend(reg, pad_value=1.0)
+    parts = []
+    for bk in ld.buckets:
+        xb = x_ext[bk.perm]
+        dp = bk.d + r_ext[bk.perm]                             # [B, P]
+        x_over_d = xb / dp
+        ut_xd = jnp.einsum('bpr,bp->br', bk.u, x_over_d)       # [B, R]
+        # small = diag(inv_s) + u.T @ diag(1/dp) @ u, with identity rows in
+        # padded rank slots (u columns there are zero) so the solve is
+        # well-posed and yields zeros there.
+        gram = jnp.einsum('bpr,bp,bpq->brq', bk.u, 1.0 / dp, bk.u)
+        rmax = bk.rmax
+        eye = jnp.eye(rmax, dtype=vector.dtype)
+        col_active = (jnp.abs(bk.u).sum(axis=1) > 0)           # [B, R]
+        small = gram + bk.inv_s[:, :, None] * eye
+        small = small + (~col_active)[:, :, None] * eye
+        mid = jnp.linalg.solve(small, ut_xd[..., None])[..., 0]
+        corr = jnp.einsum('bpr,br->bp', bk.u, mid) / dp
+        yb = x_over_d - corr
+        parts.append((bk.perm, yb))
+    return _scatter_accumulate(parts, ld.n, vector.dtype)
+
+
+def diag(ld):
+    """Diagonal of the matrix (reference matrix_structures.py:426-440)."""
+    parts = []
+    dtype = None
+    for bk in ld.buckets:
+        db = jnp.einsum('bpr,br,bpr->bp', bk.u, bk.s, bk.u) + bk.d
+        parts.append((bk.perm, db))
+        dtype = db.dtype
+    if dtype is None:
+        dtype = jnp.zeros(0).dtype
+    return _scatter_accumulate(parts, ld.n, dtype)
+
+
+def matrix_power(ld, power):
+    """Elementwise power of eigenvalues (matrix_structures.py:205-211)."""
+    if ld.has_diag:
+        raise NotImplementedError('Matrix powers where the diagonal '
+                                  'approximation is not zero have '
+                                  'not yet been implemented.')
+    new_buckets = []
+    for bk in ld.buckets:
+        s_new = jnp.where(bk.s > 0, bk.s, 1.0) ** power * (bk.s > 0)
+        inv_s_new = jnp.where(s_new > 0, 1.0 / jnp.where(s_new > 0, s_new, 1.0),
+                              0.0)
+        new_buckets.append(dataclasses.replace(bk, s=s_new.astype(bk.s.dtype),
+                                               inv_s=inv_s_new.astype(bk.s.dtype)))
+    return dataclasses.replace(ld, buckets=tuple(new_buckets))
+
+
+def to_dense(ld):
+    """Reconstruct the full dense matrix (testing only)."""
+    out = np.zeros((ld.n, ld.n))
+    for bk in ld.buckets:
+        u = np.asarray(bk.u)
+        s = np.asarray(bk.s)
+        d = np.asarray(bk.d)
+        perm = np.asarray(bk.perm)
+        for b in range(u.shape[0]):
+            rows = perm[b] < ld.n
+            ix = perm[b][rows]
+            dense = (u[b][rows] * s[b]) @ u[b][rows].T + np.diag(d[b][rows])
+            out[np.ix_(ix, ix)] += dense
+    return out
