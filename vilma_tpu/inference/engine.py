@@ -1,0 +1,744 @@
+"""Coordinate-ascent variational inference engine, TPU-native.
+
+Functionally equivalent to the reference's VIScheme/MultiPopVI
+(reference variational_inference.py:27-889) but redesigned for XLA:
+
+  * VI state is a pytree; one pure jitted `outer_step(data, state)` performs
+    a full coordinate-ascent iteration (beta natural-gradient updates with
+    backtracking line search, hyper-delta closed form, optional
+    error-scaling EM) — the reference's nested Python loops become
+    lax.while_loop with scalar predicates, so the whole iteration fuses and
+    runs on-device with no host round-trips;
+  * the variational covariances vi_sigma are never materialized
+    (vilma_tpu.models.sigma closed forms);
+  * all [*, I] arrays may be sharded over a device mesh; reductions become
+    psums and every control-flow predicate is a function of globally reduced
+    scalars, so multi-host executions cannot diverge (SURVEY.md 7.3.3).
+
+Numerical-error handling: the reference raises RuntimeError when the line
+search exhausts L > L_MAX with inconsistent objectives
+(variational_inference.py:790-798); under jit we set an error flag in the
+state and raise host-side after the step.
+"""
+import dataclasses
+import logging
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vilma_tpu.ops import blocks as blocks_mod
+from vilma_tpu.ops import kernels
+from vilma_tpu.models import sigma as sigma_mod
+from vilma_tpu.utils.config import epsilon
+
+# Optimization constants (reference variational_inference.py:18-24)
+L_MAX = 1e12
+REL_TOL = 1e-6
+ABS_TOL = 1e-6
+ELBO_TOL = 0.1
+EM_TOL = 10
+ELBO_MOMENTUM = 0.5
+MAX_NUM_ITERS = 20
+
+
+@dataclass(frozen=True)
+class ModelData:
+    """Immutable sufficient statistics of the RSS model (one fit problem).
+
+    Mirrors the precomputation in VIScheme.__init__
+    (variational_inference.py:96-259)."""
+    marginal_effects: jnp.ndarray      # [P, I] (scaled if `scaled`)
+    std_errs: jnp.ndarray              # [P, I]
+    scalings: jnp.ndarray              # [P, I] to undo --scaled at output
+    ld_diags: jnp.ndarray              # [P, I]
+    scaled_ld_diags: jnp.ndarray       # [P, I] = std_errs**-2 * ld_diags
+    adj_marginal_effects: jnp.ndarray  # [P, I]
+    chi_stat: jnp.ndarray              # [P]
+    ld_ranks: jnp.ndarray              # [P]
+    inverse_betas: jnp.ndarray         # [P, I] LDpred-inf init
+    annotations: jnp.ndarray           # [I] int32
+    annotation_counts: jnp.ndarray     # [A]
+    mixture_prec: jnp.ndarray          # [K, P, P]
+    log_det: jnp.ndarray               # [K] prior covariance log-dets
+    ld: tuple                          # tuple[PackedLD], one per population
+    num_annotations: int
+    scale_se: bool
+
+
+jax.tree_util.register_dataclass(
+    ModelData,
+    data_fields=('marginal_effects', 'std_errs', 'scalings', 'ld_diags',
+                 'scaled_ld_diags', 'adj_marginal_effects', 'chi_stat',
+                 'ld_ranks', 'inverse_betas', 'annotations',
+                 'annotation_counts', 'mixture_prec', 'log_det', 'ld'),
+    meta_fields=('num_annotations', 'scale_se'),
+)
+
+
+@dataclass(frozen=True)
+class VIState:
+    """All mutable optimization state, as one pytree."""
+    vi_mu: jnp.ndarray            # [K, P, I]
+    vi_delta: jnp.ndarray         # [I, K]
+    hyper_delta: jnp.ndarray      # [A, K]
+    error_scaling: jnp.ndarray    # [P]
+    nat_grad_vi_delta: jnp.ndarray  # [I, K-1]
+    sigma: sigma_mod.SigmaSummaries
+    L: jnp.ndarray                # [3] per-paramset Lipschitz estimates
+    elbo: jnp.ndarray             # scalar (tracked via deltas)
+    running_elbo_delta: jnp.ndarray  # scalar; nan = not yet initialized
+    num_err: jnp.ndarray          # int32 count of line-search failures
+
+
+jax.tree_util.register_dataclass(
+    VIState,
+    data_fields=('vi_mu', 'vi_delta', 'hyper_delta', 'error_scaling',
+                 'nat_grad_vi_delta', 'sigma', 'L', 'elbo',
+                 'running_elbo_delta', 'num_err'),
+    meta_fields=(),
+)
+
+
+def _isclose(a, b, rtol=1e-5, atol=1e-8):
+    return jnp.abs(a - b) <= atol + rtol * jnp.abs(b)
+
+
+def _diag_term(data, error_scaling):
+    return data.scaled_ld_diags / error_scaling[:, None]
+
+
+# ---------------------------------------------------------------------------
+# ELBO terms
+# ---------------------------------------------------------------------------
+
+def posterior_mean(vi_mu, vi_delta):
+    return kernels.fast_posterior_mean(vi_mu, vi_delta)
+
+
+def posterior_marginal_variance(mean, vi_mu, vi_delta, sigma):
+    return kernels.fast_pmv(mean, vi_mu, vi_delta, sigma.diag)
+
+
+def log_likelihood(data, sigma, error_scaling, vi_mu, vi_delta):
+    """Expected log likelihood (variational_inference.py:452-470)."""
+    post_means = posterior_mean(vi_mu, vi_delta)
+    post_vars = posterior_marginal_variance(post_means, vi_mu, vi_delta,
+                                            sigma)
+    scaled_mu = post_means / data.std_errs
+    linked_ests = jnp.stack(
+        [blocks_mod.dot(data.ld[p], scaled_mu[p])
+         for p in range(scaled_mu.shape[0])])
+    return kernels.fast_likelihood(post_means, post_vars, scaled_mu,
+                                   data.scaled_ld_diags, linked_ests,
+                                   data.adj_marginal_effects, data.chi_stat,
+                                   data.ld_ranks, error_scaling)
+
+
+def beta_KL(data, sigma, vi_mu, vi_delta, hyper_delta):
+    """KL of the effect-size VI family (variational_inference.py:873-885)."""
+    delta_comp = kernels.fast_delta_kl(vi_delta, hyper_delta,
+                                       data.annotations)
+    inner = kernels.fast_inner_product_comp(vi_mu, data.mixture_prec,
+                                            vi_delta)
+    fast_comp = kernels.fast_beta_kl(sigma.sigma_summary, vi_delta)
+    return delta_comp + inner + fast_comp
+
+
+def elbo(data, sigma, error_scaling, vi_mu, vi_delta, hyper_delta):
+    """Evidence lower bound (variational_inference.py:412-417; the
+    annotation KL is identically 0 in MultiPopVI)."""
+    return (log_likelihood(data, sigma, error_scaling, vi_mu, vi_delta)
+            - beta_KL(data, sigma, vi_mu, vi_delta, hyper_delta))
+
+
+def _beta_objective(data, sigma, error_scaling, vi_mu, vi_delta,
+                    hyper_delta):
+    """ELBO terms involving the beta VI family
+    (variational_inference.py:488-490)."""
+    return (log_likelihood(data, sigma, error_scaling, vi_mu, vi_delta)
+            - beta_KL(data, sigma, vi_mu, vi_delta, hyper_delta))
+
+
+elbo_jit = jax.jit(
+    lambda data, sigma, error_scaling, vi_mu, vi_delta, hyper_delta:
+    elbo(data, sigma, error_scaling, vi_mu, vi_delta, hyper_delta))
+
+
+def nat_to_not_vi_delta(data, sigma, error_scaling, vi_mu,
+                        nat_grad_vi_delta):
+    """Closed-form vi_delta from current natural parameters
+    (variational_inference.py:632-641)."""
+    dterm = _diag_term(data, error_scaling)
+    nat_mu = sigma_mod.apply_precision(data.mixture_prec, dterm, vi_mu)
+    return kernels.fast_invert_nat_vi_delta(
+        vi_mu, nat_mu, sigma.log_det_sigma.T, nat_grad_vi_delta)
+
+
+# ---------------------------------------------------------------------------
+# Updates
+# ---------------------------------------------------------------------------
+
+def _nat_grad_beta(data, error_scaling, vi_mu, vi_delta):
+    """Natural gradient for the beta family
+    (variational_inference.py:804-823). Returns [K, P, I] (constant in K)."""
+    post_mean = posterior_mean(vi_mu, vi_delta)
+    post_zs = post_mean / data.std_errs
+    linked = jnp.stack([blocks_mod.dot(data.ld[p], post_zs[p])
+                        for p in range(post_zs.shape[0])])
+    linked = kernels.fast_linked_ests(linked, data.std_errs, post_mean,
+                                      data.scaled_ld_diags)
+    resid = (data.adj_marginal_effects - linked) / error_scaling[:, None]
+    K = data.mixture_prec.shape[0]
+    return jnp.broadcast_to(resid[None], (K,) + resid.shape)
+
+
+def _update_beta(data, st, orig_obj, line_search_rate):
+    """One natural-gradient step with backtracking line search
+    (variational_inference.py:762-802).
+
+    Returns (vi_mu, vi_delta, L0, orig_obj, new_obj, err_inc)."""
+    dterm = _diag_term(data, st.error_scaling)
+    old_nat_mu = sigma_mod.apply_precision(data.mixture_prec, dterm,
+                                           st.vi_mu)
+    nat_grad_mu = _nat_grad_beta(data, st.error_scaling, st.vi_mu,
+                                 st.vi_delta)
+    const_part = st.sigma.log_det_sigma.T
+
+    def trial(L0):
+        step_size = 1. / L0
+        nat_mu = kernels.sum_betas(old_nat_mu, nat_grad_mu, step_size)
+        new_mu = sigma_mod.apply_sigma(data.mixture_prec, dterm, nat_mu)
+        new_vd = kernels.fast_invert_nat_vi_delta(
+            new_mu, nat_mu, const_part, st.nat_grad_vi_delta)
+        new_obj = _beta_objective(data, st.sigma, st.error_scaling, new_mu,
+                                  new_vd, st.hyper_delta)
+        return new_mu, new_vd, new_obj
+
+    threshold = orig_obj - REL_TOL * jnp.abs(orig_obj) - ABS_TOL
+
+    def cond(carry):
+        L0, _, _, new_obj = carry
+        return jnp.logical_and(new_obj < threshold, L0 <= L_MAX)
+
+    def body(carry):
+        L0, _, _, _ = carry
+        L_next = L0 * line_search_rate
+        new_mu, new_vd, new_obj = trial(L_next)
+        return (L_next, new_mu, new_vd, new_obj)
+
+    L0 = st.L[0]
+    init = (L0,) + trial(L0)
+    L0, new_mu, new_vd, new_obj = jax.lax.while_loop(cond, body, init)
+
+    accepted = new_obj >= threshold
+    err = jnp.logical_and(L0 > L_MAX,
+                          jnp.logical_not(_isclose(orig_obj, new_obj)))
+    vi_mu = jnp.where(accepted, new_mu, st.vi_mu)
+    vi_delta = jnp.where(accepted, new_vd, st.vi_delta)
+    new_obj = jnp.where(accepted, new_obj, orig_obj)
+    return vi_mu, vi_delta, L0, new_obj, err.astype(jnp.int32)
+
+
+def _beta_loop(data, st, conv_tol, line_search_rate):
+    """Up to MAX_NUM_ITERS beta updates (variational_inference.py:427-439),
+    stopping once the objective gain is below conv_tol or L hits its
+    bounds."""
+    obj0 = _beta_objective(data, st.sigma, st.error_scaling, st.vi_mu,
+                           st.vi_delta, st.hyper_delta)
+
+    def body(carry):
+        st, orig_obj, delta, it, _ = carry
+        L0 = jnp.maximum(1., st.L[0] / 1.25)
+        st = dataclasses.replace(st, L=st.L.at[0].set(L0))
+        vi_mu, vi_delta, L0, new_obj, err = _update_beta(
+            data, st, orig_obj, line_search_rate)
+        st = dataclasses.replace(
+            st, vi_mu=vi_mu, vi_delta=vi_delta, L=st.L.at[0].set(L0),
+            num_err=st.num_err + err)
+        delta = delta + new_obj - orig_obj
+        done = jnp.logical_or(
+            jnp.abs(new_obj - orig_obj) <= conv_tol,
+            jnp.logical_or(L0 == 1., L0 > L_MAX))
+        return st, new_obj, delta, it + 1, done
+
+    def cond(carry):
+        _, _, _, it, done = carry
+        return jnp.logical_and(it < MAX_NUM_ITERS, jnp.logical_not(done))
+
+    st, _, delta, _, _ = jax.lax.while_loop(
+        cond, body, (st, obj0, jnp.zeros_like(obj0), jnp.asarray(0),
+                     jnp.asarray(False)))
+    return st, delta
+
+
+def _update_hyper_delta(data, st):
+    """Closed-form per-annotation mixture-weight update
+    (variational_inference.py:825-860). The reference's inner loop always
+    exits after one iteration for this paramset (its L stays pinned at 1,
+    variational_inference.py:430,436-437), so a single update is exact."""
+    eps = epsilon(st.vi_delta.dtype)
+    orig_obj = elbo(data, st.sigma, st.error_scaling, st.vi_mu, st.vi_delta,
+                    st.hyper_delta)
+    new_hd = kernels.sum_annotations(st.vi_delta, data.annotations,
+                                     data.num_annotations)
+    new_hd = jnp.maximum(
+        new_hd / (data.annotation_counts[:, None] + eps), eps)
+    new_hd = new_hd / new_hd.sum(axis=1, keepdims=True)
+    nat_grad_vi_delta = kernels.fast_vi_delta_grad(new_hd, data.log_det,
+                                                   data.annotations)
+    new_vd = nat_to_not_vi_delta(data, st.sigma, st.error_scaling, st.vi_mu,
+                                 nat_grad_vi_delta)
+    new_obj = elbo(data, st.sigma, st.error_scaling, st.vi_mu, new_vd,
+                   new_hd)
+    st = dataclasses.replace(st, vi_delta=new_vd, hyper_delta=new_hd,
+                             nat_grad_vi_delta=nat_grad_vi_delta)
+    return st, new_obj - orig_obj
+
+
+def _update_error_scaling(data, st):
+    """EM update of the per-population error scalings + vi_sigma refresh
+    (variational_inference.py:441-448,472-486,735-738)."""
+    orig_obj = elbo(data, st.sigma, st.error_scaling, st.vi_mu, st.vi_delta,
+                    st.hyper_delta)
+    post_means = posterior_mean(st.vi_mu, st.vi_delta)
+    post_vars = posterior_marginal_variance(post_means, st.vi_mu,
+                                            st.vi_delta, st.sigma)
+    scaled_mu = post_means / data.std_errs
+    quad = jnp.stack([
+        jnp.dot(scaled_mu[p], blocks_mod.dot(data.ld[p], scaled_mu[p]))
+        for p in range(scaled_mu.shape[0])])
+    new_scaling = (
+        data.chi_stat
+        - 2 * jnp.einsum('pi,pi->p', post_means, data.adj_marginal_effects)
+        + quad
+        + jnp.sum(data.ld_diags * post_vars * data.std_errs ** -2, axis=1)
+    ) / data.ld_ranks
+    new_sigma = sigma_mod.make_summaries(
+        data.mixture_prec, data.log_det, _diag_term(data, new_scaling))
+    new_vd = nat_to_not_vi_delta(data, new_sigma, new_scaling, st.vi_mu,
+                                 st.nat_grad_vi_delta)
+    st = dataclasses.replace(st, error_scaling=new_scaling, sigma=new_sigma,
+                             vi_delta=new_vd)
+    new_obj = elbo(data, st.sigma, st.error_scaling, st.vi_mu, st.vi_delta,
+                   st.hyper_delta)
+    return st, new_obj - orig_obj
+
+
+@partial(jax.jit, static_argnames=('line_search_rate',))
+def outer_step(data, st, line_search_rate=2.0):
+    """One full coordinate-ascent iteration
+    (reference _optimize_step/_nat_grad_step,
+    variational_inference.py:396-450), jitted end-to-end."""
+    conv_tol = jnp.where(jnp.isnan(st.running_elbo_delta),
+                         jnp.inf, 0.1 * st.running_elbo_delta)
+    st, delta_beta = _beta_loop(data, st, conv_tol, line_search_rate)
+    st, delta_hyper = _update_hyper_delta(data, st)
+    # the annotation update is a no-op in MultiPopVI
+    # (variational_inference.py:862-866)
+    new_elbo_delta = delta_beta + delta_hyper
+
+    if data.scale_se:
+        def do_em(st):
+            return _update_error_scaling(data, st)
+
+        def skip(st):
+            return st, jnp.zeros_like(new_elbo_delta)
+
+        st, em_delta = jax.lax.cond(new_elbo_delta < EM_TOL, do_em, skip, st)
+        new_elbo_delta = new_elbo_delta + em_delta
+
+    red = jnp.where(jnp.isnan(st.running_elbo_delta), new_elbo_delta,
+                    st.running_elbo_delta)
+    red = red * ELBO_MOMENTUM + (1 - ELBO_MOMENTUM) * jnp.maximum(
+        new_elbo_delta, 0)
+    st = dataclasses.replace(st, elbo=st.elbo + new_elbo_delta,
+                             running_elbo_delta=red)
+    post_mean = posterior_mean(st.vi_mu, st.vi_delta) * data.scalings
+    return st, post_mean
+
+
+# ---------------------------------------------------------------------------
+# Initialization (reference MultiPopVI._initialize,
+# variational_inference.py:643-700). RNG draws happen on the host with the
+# global numpy stream for golden parity; the rest runs jitted.
+# ---------------------------------------------------------------------------
+
+def make_fake_mu(data_np_inverse_betas, std_errs, ld_diags):
+    """Host-side jittered initial means (variational_inference.py:646-657).
+    Uses the *global* numpy RNG in the same order as the reference."""
+    real_mu = np.asarray(data_np_inverse_betas)
+    std_errs = np.asarray(std_errs)
+    missing = np.isclose(np.asarray(ld_diags), 0)
+    fake_mu = np.random.normal(loc=np.copy(real_mu), scale=1e-3 * std_errs,
+                               size=real_mu.shape)
+    fake_mu[missing] = np.nan
+    with np.errstate(invalid='ignore'):
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter('ignore')
+            mu_fill = np.tile(np.nanmean(fake_mu, axis=0),
+                              [fake_mu.shape[0], 1])
+    fake_mu[missing] = mu_fill[missing]
+    fake_mu[np.isnan(fake_mu)] = 0.
+    return fake_mu
+
+
+@jax.jit
+def initialize_from_fake_mu(data, sigma, error_scaling, fake_mu):
+    """Device-side remainder of _initialize
+    (variational_inference.py:658-700)."""
+    eps = epsilon(fake_mu.dtype)
+    probs = jnp.einsum('pi,oi,kpo->ik', 1.6 * fake_mu, 1.6 * fake_mu,
+                       data.mixture_prec)
+    probs = probs + sigma.matches - data.log_det[None, :]
+    probs = jnp.exp(-0.5 * (probs - jnp.min(probs, axis=1, keepdims=True)))
+    vi_delta = jnp.maximum(probs / probs.sum(axis=1, keepdims=True), eps)
+
+    hyper = kernels.sum_annotations(vi_delta, data.annotations,
+                                    data.num_annotations) + 1.
+    hyper = hyper / jnp.sum(hyper, axis=1, keepdims=True)
+    hyper = jnp.maximum(hyper, eps)
+
+    nat_vi_delta = kernels.fast_vi_delta_grad(hyper, data.log_det,
+                                              data.annotations)
+
+    dterm = _diag_term(data, error_scaling)
+    avg_mats = sigma_mod.sigma_weighted_sum(data.mixture_prec, dterm,
+                                            vi_delta)            # [I,P,P]
+    inv_avg = jnp.linalg.inv(avg_mats)
+    temp_nat_mu = jnp.einsum('pi,iqp->qi', fake_mu, inv_avg)     # [P,I]
+    K = data.mixture_prec.shape[0]
+    vi_mu = sigma_mod.apply_sigma(
+        data.mixture_prec, dterm,
+        jnp.broadcast_to(temp_nat_mu[None], (K,) + temp_nat_mu.shape))
+
+    vi_delta = kernels.fast_invert_nat_vi_delta(
+        vi_mu, sigma_mod.apply_precision(data.mixture_prec, dterm, vi_mu),
+        sigma.log_det_sigma.T, nat_vi_delta)
+    return vi_mu, vi_delta, hyper, nat_vi_delta
+
+
+# ---------------------------------------------------------------------------
+# Model setup (reference VIScheme.__init__ precomputation,
+# variational_inference.py:96-259)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _precompute_stats(ld, marginal_effects, std_errs, gwas_N, init_hg):
+    P = marginal_effects.shape[0]
+    ld_diags = jnp.stack([blocks_mod.diag(ld[p]) for p in range(P)])
+    z_scores = marginal_effects / std_errs
+    mle = jnp.stack([blocks_mod.inverse_dot(ld[p], z_scores[p])
+                     for p in range(P)])
+    chi_stat = jnp.einsum('pi,pi->p', z_scores, mle)
+    adj = jnp.stack([blocks_mod.dot(ld[p], mle[p]) for p in range(P)])
+    adj = adj / std_errs
+    prior = (2 * gwas_N * init_hg) / jnp.sum(std_errs ** -2, axis=1)
+    inv_z = jnp.stack([
+        blocks_mod.ridge_inverse_dot(ld[p], adj[p] * std_errs[p],
+                                     std_errs[p] ** 2 / prior[p])
+        for p in range(P)])
+    inverse_betas = inv_z * std_errs
+    return ld_diags, chi_stat, adj, inverse_betas
+
+
+def build_model_data(marginal_effects, std_errs, ld_mats, annotations,
+                     mixture_covs, scaled, scale_se, gwas_N, init_hg,
+                     dtype=None):
+    """Assemble ModelData with the same validations as VIScheme.__init__."""
+    marginal_effects = np.asarray(marginal_effects)
+    std_errs = np.asarray(std_errs)
+    if dtype is None:
+        dtype = marginal_effects.dtype
+    eps = epsilon(dtype)
+    if not np.all(np.isfinite(marginal_effects)):
+        raise ValueError('Encountered an infinite or NaN value in the '
+                         'GWAS effect size estimates')
+    if not np.all(np.isfinite(std_errs)):
+        raise ValueError('Encountered an infinity or NaN value in the '
+                         'GWAS standard errors')
+    num_pops, num_loci = marginal_effects.shape
+    if len(ld_mats) != num_pops:
+        raise ValueError('Fewer LD matrices than populations.')
+    for ld in ld_mats:
+        if not isinstance(ld, blocks_mod.PackedLD):
+            raise ValueError('LD Matrices must be of type PackedLD.')
+        if ld.shape != (num_loci, num_loci):
+            raise ValueError('LD matrix shape does not match '
+                             'GWAS marginal effect size shape.')
+    annotations = np.asarray(annotations)
+    if not np.allclose(annotations.sum(axis=1), 1):
+        raise ValueError('Some SNPs are either missing annotations '
+                         'or have more than one annotation.')
+    if annotations.shape[0] != num_loci:
+        raise ValueError('annotations dimension does not match GWAS '
+                         'marginal effect size shape.')
+
+    mixture_covs = np.asarray(mixture_covs)
+    if mixture_covs.shape[1:] != (num_pops, num_pops):
+        raise ValueError('Mixture component has a covariance matrix of '
+                         'the wrong shape.')
+    signs, log_det = np.linalg.slogdet(mixture_covs)
+    if not np.all(signs == 1):
+        raise ValueError('Mixture component has a non-positive definite '
+                         'covariance matrix.')
+    mixture_prec = np.linalg.inv(mixture_covs)
+
+    if scaled:
+        marginal = marginal_effects / (std_errs + eps)
+        use_std_errs = np.ones_like(std_errs)
+        scalings = std_errs + eps
+    else:
+        marginal = np.copy(marginal_effects)
+        use_std_errs = np.copy(std_errs)
+        scalings = np.ones_like(std_errs)
+
+    marginal = jnp.asarray(marginal, dtype=dtype)
+    use_std_errs_j = jnp.asarray(use_std_errs, dtype=dtype)
+    gwas_N = jnp.asarray(np.asarray(gwas_N), dtype=dtype)
+    init_hg = jnp.asarray(np.asarray(init_hg), dtype=dtype)
+    ld_tuple = tuple(ld_mats)
+    ld_diags, chi_stat, adj, inverse_betas = _precompute_stats(
+        ld_tuple, marginal, use_std_errs_j, gwas_N, init_hg)
+
+    ld_diags_np = np.asarray(ld_diags)
+    if not np.allclose(np.asarray(adj)[np.isclose(ld_diags_np, 0)], 0):
+        raise ValueError('Some SNPs that are missing in the LD matrix '
+                         'are not being treated as missing.')
+
+    annot_idx = np.where(annotations)[1].astype(np.int32)
+    return ModelData(
+        marginal_effects=marginal,
+        std_errs=use_std_errs_j,
+        scalings=jnp.asarray(scalings, dtype=dtype),
+        ld_diags=ld_diags,
+        scaled_ld_diags=use_std_errs_j ** -2 * ld_diags,
+        adj_marginal_effects=adj,
+        chi_stat=chi_stat,
+        ld_ranks=jnp.asarray([ld.get_rank() for ld in ld_mats],
+                             dtype=dtype),
+        inverse_betas=inverse_betas,
+        annotations=jnp.asarray(annot_idx),
+        annotation_counts=jnp.asarray(annotations.sum(axis=0), dtype=dtype),
+        mixture_prec=jnp.asarray(mixture_prec, dtype=dtype),
+        log_det=jnp.asarray(log_det, dtype=dtype),
+        ld=ld_tuple,
+        num_annotations=int(annotations.shape[1]),
+        scale_se=bool(scale_se),
+    )
+
+
+# ---------------------------------------------------------------------------
+# User-facing engine
+# ---------------------------------------------------------------------------
+
+class MultiPopVI:
+    """Drop-in equivalent of the reference MultiPopVI
+    (variational_inference.py:567-889): same constructor surface, same
+    optimize()/checkpoint semantics, same output arrays."""
+
+    param_names = ['vi_mu', 'vi_delta', 'hyper_delta']
+
+    def __init__(self, marginal_effects=None, std_errs=None, ld_mats=None,
+                 annotations=None, mixture_covs=None, checkpoint=True,
+                 checkpoint_freq=5, scaled=False, scale_se=False,
+                 output='vilma_output', gwas_N=None, init_hg=None,
+                 num_its=None, dtype=None):
+        for name, val in [('marginal_effects', marginal_effects),
+                          ('std_errs', std_errs), ('ld_mats', ld_mats),
+                          ('annotations', annotations),
+                          ('mixture_covs', mixture_covs),
+                          ('gwas_N', gwas_N), ('init_hg', init_hg),
+                          ('num_its', num_its)]:
+            if val is None:
+                raise ValueError(f'{name} must be specified when calling '
+                                 'MultiPopVI()')
+        self.data = build_model_data(marginal_effects, std_errs, ld_mats,
+                                     annotations, mixture_covs, scaled,
+                                     scale_se, gwas_N, init_hg, dtype=dtype)
+        self.scaled = scaled
+        self.scale_se = scale_se
+        self.checkpoint = checkpoint
+        self.checkpoint_freq = checkpoint_freq
+        self.checkpoint_path = '%s-checkpoint' % output
+        self.num_its = num_its
+        self.num_pops, self.num_loci = self.data.marginal_effects.shape
+        self.num_mix = self.data.mixture_prec.shape[0]
+        self.num_annotations = self.data.num_annotations
+        self.state = None
+
+    # -- pieces reused by fit/sim/tests ------------------------------------
+    @property
+    def error_scaling(self):
+        return np.asarray(self.state.error_scaling)
+
+    @property
+    def scalings(self):
+        return np.asarray(self.data.scalings)
+
+    @property
+    def vi_sigma(self):
+        """Materialized [K,P,P,I] variational covariances (output parity
+        with reference vi_options.py:264 only — never used in compute)."""
+        dterm = _diag_term(self.data, self.state.error_scaling)
+        return np.asarray(sigma_mod.materialize_sigma(
+            self.data.mixture_prec, dterm))
+
+    def _fresh_state(self, error_scaling=None):
+        dtype = self.data.marginal_effects.dtype
+        if error_scaling is None:
+            error_scaling = jnp.ones(self.num_pops, dtype=dtype)
+        else:
+            error_scaling = jnp.asarray(error_scaling, dtype=dtype)
+        sig = sigma_mod.make_summaries(
+            self.data.mixture_prec, self.data.log_det,
+            _diag_term(self.data, error_scaling))
+        K = self.num_mix
+        zeros = lambda *s: jnp.zeros(s, dtype=dtype)  # noqa: E731
+        return VIState(
+            vi_mu=zeros(K, self.num_pops, self.num_loci),
+            vi_delta=zeros(self.num_loci, K),
+            hyper_delta=zeros(self.num_annotations, K),
+            error_scaling=error_scaling,
+            nat_grad_vi_delta=zeros(self.num_loci, K - 1),
+            sigma=sig,
+            L=jnp.ones(3, dtype=dtype),
+            elbo=jnp.asarray(0., dtype=dtype),
+            running_elbo_delta=jnp.asarray(np.nan, dtype=dtype),
+            num_err=jnp.asarray(0, dtype=jnp.int32),
+        )
+
+    def _initialize(self):
+        st = self._fresh_state()
+        fake_mu = make_fake_mu(self.data.inverse_betas, self.data.std_errs,
+                               self.data.ld_diags)
+        fake_mu = jnp.asarray(fake_mu,
+                              dtype=self.data.marginal_effects.dtype)
+        logging.info('Largest inverse_beta is %f',
+                     float(np.max(np.abs(np.asarray(
+                         self.data.inverse_betas)))))
+        vi_mu, vi_delta, hyper, nat_vd = initialize_from_fake_mu(
+            self.data, st.sigma, st.error_scaling, fake_mu)
+        return dataclasses.replace(st, vi_mu=vi_mu, vi_delta=vi_delta,
+                                   hyper_delta=hyper,
+                                   nat_grad_vi_delta=nat_vd)
+
+    def _state_from_checkpoint(self, loaded_checkpoint):
+        dtype = self.data.marginal_effects.dtype
+        error_scaling = None
+        if 'error_scaling' in getattr(loaded_checkpoint, 'files',
+                                      loaded_checkpoint):
+            error_scaling = loaded_checkpoint['error_scaling']
+        else:
+            logging.warning('Did not find "error_scaling" in the loaded '
+                            'checkpoint. That is okay, but we will have '
+                            'to assume that the error scalings are 1.')
+        st = self._fresh_state(error_scaling)
+        nat_vd = kernels.fast_vi_delta_grad(
+            jnp.asarray(loaded_checkpoint['hyper_delta'], dtype=dtype),
+            self.data.log_det, self.data.annotations)
+        return dataclasses.replace(
+            st,
+            vi_mu=jnp.asarray(loaded_checkpoint['vi_mu'], dtype=dtype),
+            vi_delta=jnp.asarray(loaded_checkpoint['vi_delta'], dtype=dtype),
+            hyper_delta=jnp.asarray(loaded_checkpoint['hyper_delta'],
+                                    dtype=dtype),
+            nat_grad_vi_delta=nat_vd)
+
+    def elbo_value(self, st=None):
+        st = st or self.state
+        return float(elbo_jit(self.data, st.sigma, st.error_scaling,
+                              st.vi_mu, st.vi_delta, st.hyper_delta))
+
+    def create_dump_dict(self, st=None):
+        st = st or self.state
+        return {
+            'vi_mu': np.asarray(st.vi_mu),
+            'vi_delta': np.asarray(st.vi_delta),
+            'hyper_delta': np.asarray(st.hyper_delta),
+            'error_scaling': np.asarray(st.error_scaling),
+            'scalings': np.asarray(self.data.scalings),
+        }
+
+    def real_posterior_mean(self, st=None):
+        st = st or self.state
+        return np.asarray(posterior_mean(st.vi_mu, st.vi_delta)
+                          * self.data.scalings)
+
+    def real_posterior_variance(self, st=None):
+        st = st or self.state
+        mean = posterior_mean(st.vi_mu, st.vi_delta)
+        pmv = posterior_marginal_variance(mean, st.vi_mu, st.vi_delta,
+                                          st.sigma)
+        return np.asarray(pmv * self.data.scalings ** 2)
+
+    def optimize(self, loaded_checkpoint=None):
+        """Coordinate ascent until convergence
+        (reference optimize(), variational_inference.py:340-394)."""
+        if loaded_checkpoint is None:
+            st = self._initialize()
+        else:
+            st = self._state_from_checkpoint(loaded_checkpoint)
+        st = dataclasses.replace(
+            st, elbo=elbo_jit(self.data, st.sigma, st.error_scaling,
+                              st.vi_mu, st.vi_delta, st.hyper_delta))
+        converged = False
+        num_its = 0
+        post_mean = np.asarray(posterior_mean(st.vi_mu, st.vi_delta)
+                               * self.data.scalings)
+        ckp_post_mean = post_mean
+        prev_err = 0
+        while num_its < self.num_its and not converged:
+            if num_its % self.checkpoint_freq == 0 and self.checkpoint:
+                fname = '{}.{}'.format(self.checkpoint_path, num_its)
+                np.savez(fname, **self.create_dump_dict(st))
+                ckp_post_mean = np.asarray(
+                    posterior_mean(st.vi_mu, st.vi_delta)
+                    * self.data.scalings)
+            st, new_post_mean = outer_step(self.data, st,
+                                           line_search_rate=2.0)
+            num_err = int(st.num_err)
+            if num_err > prev_err:
+                raise RuntimeError('Encountered a numerical error.')
+            prev_err = num_err
+            new_post_mean = np.asarray(new_post_mean)
+            red = float(st.running_elbo_delta)
+
+            converged = np.allclose(new_post_mean, post_mean, atol=ABS_TOL,
+                                    rtol=REL_TOL)
+            converged = converged or np.isclose(red, 0, atol=ELBO_TOL,
+                                                rtol=0)
+            if num_its < 10 and loaded_checkpoint is None:
+                converged = False
+
+            self._dump_info(num_its, new_post_mean, post_mean, ckp_post_mean,
+                            st)
+            post_mean = new_post_mean
+            num_its += 1
+
+        if num_its == self.num_its:
+            logging.warning('Failed to converge')
+        logging.info('Optimization ran for %d iterations', num_its)
+        self.state = st
+        return st
+
+    def _dump_info(self, num_its, new_post_mean, post_mean, ckp_post_mean,
+                   st):
+        eps = epsilon(new_post_mean.dtype)
+        logging.info('Completed iteration %d', num_its + 1)
+        logging.info('ELBO = %f, running delta = %f', float(st.elbo),
+                     float(st.running_elbo_delta))
+        logging.info('Maximum posterior mean beta: %e',
+                     np.max(np.abs(new_post_mean)))
+        logging.info('SE scaling is: %r',
+                     np.asarray(st.error_scaling))
+        logging.info('Max relative difference is: %e',
+                     np.max(np.abs((new_post_mean - post_mean)
+                                   / (post_mean + eps))))
+        logging.info('Max absolute difference is: %e',
+                     np.max(np.abs(new_post_mean - post_mean)))
+        logging.info('RMSE difference (checkpoint iterations) is: %e',
+                     np.sqrt(np.mean((new_post_mean - ckp_post_mean) ** 2)))

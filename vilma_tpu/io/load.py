@@ -1,0 +1,256 @@
+"""Loading and matching of GWAS summary stats, annotations, and LD.
+
+Host-side ETL: pandas-based parsing with the exact column rules, allele
+flip/mismatch detection, and missing-data semantics of the reference
+(reference load.py:21-354), feeding the packed HBM block tensors of
+vilma_tpu.ops.blocks instead of Python block-object lists.
+"""
+import logging
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+from vilma_tpu.ops import blocks as blocks_mod
+from vilma_tpu.ops import lowrank
+
+# pandas >= 2 deprecates delim_whitespace; this is the equivalent.
+_WS = {'sep': r'\s+'}
+
+
+def load_variant_list(variant_filename):
+    """Read the analysis variant list (reference load.py:21-39).
+
+    Requires ID and A1 columns; A2 may be given directly or derived from
+    REF/ALT (A2 = REF unless A1 == REF, in which case A2 = ALT).
+    """
+    variants = pd.read_csv(variant_filename, header=0,
+                           **_WS).drop_duplicates(ignore_index=True)
+    if 'ID' not in variants.columns:
+        raise ValueError('Variant file must contain a column labeled ID')
+    if 'A1' not in variants.columns:
+        raise ValueError('Variant file must contain a column labeled A1')
+    if 'A2' not in variants.columns:
+        if 'REF' not in variants.columns or 'ALT' not in variants.columns:
+            raise ValueError('Variant file must contain a column labeled A2')
+        variants['A2'] = variants['REF'].copy()
+        flip = variants['A1'] == variants['REF']
+        variants.loc[flip, 'A2'] = variants.loc[flip, 'ALT'].copy()
+    return variants[['ID', 'A1', 'A2']]
+
+
+def load_annotations(annotations_filename, variants):
+    """One-hot annotations matched to `variants` (reference load.py:42-68).
+
+    Returns (one_hot [num_variants, num_annotations], denylist) where
+    denylist holds the indices of unannotated variants (assigned annotation
+    0 in the one-hot matrix but excluded from LD).
+    """
+    if not annotations_filename:
+        return np.ones((variants.shape[0], 1)), []
+
+    dframe = pd.read_csv(annotations_filename, header=0, **_WS)
+    if 'ID' not in dframe.columns:
+        raise ValueError('Annotation file must contain a column labeled ID')
+    if 'ANNOTATION' not in dframe.columns:
+        raise ValueError('Annotation file must contain a column labeled '
+                         'ANNOTATION')
+
+    dframe = pd.merge(variants, dframe, on='ID', how='left')
+    dframe = pd.DataFrame(dframe['ANNOTATION'])
+    num_missing = int(dframe['ANNOTATION'].isna().sum())
+    if num_missing > 0:
+        logging.warning('%d out of %d total variants are missing '
+                        'annotations. These will get set to having the '
+                        'first annotation!', num_missing, dframe.shape[0])
+    denylist = np.where(dframe['ANNOTATION'].isna())[0].tolist()
+    dframe.loc[dframe['ANNOTATION'].isna(), 'ANNOTATION'] = 0
+    one_hot = pd.get_dummies(dframe['ANNOTATION'],
+                             dummy_na=False).to_numpy()
+    return one_hot.astype(np.float64), denylist
+
+
+def load_sumstats(sumstats_filename, variants):
+    """Load GWAS summary statistics matched to `variants`
+    (reference load.py:71-139).
+
+    Handles OR -> log(OR) conversion, allele flip (BETA sign change) and
+    mismatch detection; missing or mismatched rows get BETA=0, SE=1 and are
+    reported in the returned missing list.
+    """
+    header = pd.read_csv(sumstats_filename, nrows=1, header=0, **_WS)
+    if 'ID' not in header.columns:
+        raise ValueError('Summary Statistics File must contain a column '
+                         'labeled ID')
+    if 'A1' not in header.columns:
+        raise ValueError('Summary Statistics File must contain a column '
+                         'labeled A1')
+    a2_cols = ['A2']
+    if 'A2' not in header.columns:
+        a2_cols = ['REF', 'ALT']
+        if 'REF' not in header.columns or 'ALT' not in header.columns:
+            raise ValueError('If summary statistics file does not contain '
+                             'a column labeled A2, then it must contain REF '
+                             'and ALT columns.')
+    if 'SE' not in header.columns:
+        raise ValueError('Summary Statistics File must contain a column '
+                         'labeled SE')
+    effect_col = 'BETA'
+    if 'BETA' not in header.columns:
+        effect_col = 'OR'
+        if 'OR' not in header.columns:
+            raise ValueError('Summary stat file needs to contain either'
+                             'BETA or OR filed.')
+
+    sumstats = pd.read_csv(
+        sumstats_filename, header=0,
+        usecols=['ID', 'A1', 'SE', effect_col] + a2_cols, **_WS)
+    sumstats = sumstats[sumstats.ID.isin(variants.ID)].reset_index(drop=True)
+
+    if 'A2' not in sumstats.columns:
+        sumstats['A2'] = sumstats['REF'].copy()
+        flip = sumstats['A1'] == sumstats['REF']
+        sumstats.loc[flip, 'A2'] = sumstats.loc[flip, 'ALT'].copy()
+    if 'BETA' not in sumstats.columns:
+        sumstats['BETA'] = np.log(sumstats.OR)
+
+    sumstats = pd.merge(variants, sumstats, on='ID', how='left')
+    stay_allele = ((sumstats.A1_x == sumstats.A1_y)
+                   & (sumstats.A2_x == sumstats.A2_y))
+    flip_allele = ((sumstats.A1_x == sumstats.A2_y)
+                   & (sumstats.A1_y == sumstats.A2_x))
+    missing = (sumstats.BETA.isna()
+               | sumstats.SE.isna()
+               | ((~stay_allele) & (~flip_allele)))
+    logging.warning('%d out of %d total variants are missing sumstats',
+                    int(missing.sum()), sumstats.shape[0])
+    logging.warning('%d alleles have been flipped', int(flip_allele.sum()))
+    sumstats.loc[missing, 'BETA'] = 0.
+    sumstats.loc[missing, 'SE'] = 1.
+    sumstats.loc[flip_allele, 'BETA'] = -sumstats.loc[flip_allele, 'BETA']
+    return sumstats, np.where(missing)[0].tolist()
+
+
+def schema_iterator(schema_path):
+    """Yield (.var path, .npy path) pairs from an LD schema manifest,
+    resolving paths relative to the manifest (reference load.py:142-163)."""
+    schema_path = Path(schema_path)
+    with open(schema_path, 'r') as schema:
+        for line in schema:
+            snp_path, ld_path = line.split()
+            yield (Path(schema_path.parents[0], snp_path),
+                   Path(schema_path.parents[0], ld_path))
+
+
+def load_ld_mat(ld_path, variant_indices=None, mismatch=None, signs=None):
+    """Load one LD block .npy, subset/flip, return a dense matrix
+    (reference load.py:166-234).
+
+    Square arrays are dense LD; tall (n+1) x k arrays are a stacked
+    eigendecomposition [eigenvectors; eigenvalues] which is reconstructed
+    densely after row subsetting/sign flipping (subset eigenvectors are no
+    longer orthogonal, so downstream re-factorization is required either
+    way).
+    """
+    ld_matrix = np.load(ld_path)
+
+    if signs is not None and not np.allclose(np.asarray(signs) ** 2, 1):
+        raise ValueError('signs must be a vector consisting entirely of '
+                         '+1s and -1s.')
+    if len(ld_matrix.shape) == 0:
+        return ld_matrix[None, None]
+
+    num_snps = ld_matrix.shape[0]
+    if ld_matrix.shape[0] > ld_matrix.shape[1]:
+        num_snps -= 1
+    if variant_indices is None:
+        variant_indices = np.ones(num_snps, dtype=bool)
+    if mismatch is None:
+        mismatch = np.zeros(int(np.sum(variant_indices)), dtype=bool)
+    if signs is None:
+        signs = np.ones(num_snps)
+
+    if ld_matrix.shape[0] == ld_matrix.shape[1]:
+        accepted = np.copy(ld_matrix[np.ix_(variant_indices,
+                                            variant_indices)])
+        accepted = accepted * np.outer(signs, signs)
+        return accepted[np.ix_(~mismatch, ~mismatch)]
+
+    if ld_matrix.shape[0] < ld_matrix.shape[1]:
+        raise ValueError('Bad LD matrix.')
+
+    num_snps = ld_matrix.shape[0] - 1
+    if num_snps != variant_indices.shape[0]:
+        raise ValueError('Bad LD matrix.')
+    u_mat = np.copy(ld_matrix[0:num_snps])
+    s_vec = np.copy(ld_matrix[num_snps])
+    u_mat = u_mat[variant_indices, :]
+    u_mat = np.asarray(signs).reshape((-1, 1)) * u_mat
+    u_mat = np.copy(u_mat[~mismatch])
+    return (u_mat * s_vec).dot(u_mat.T)
+
+
+def load_ld_from_schema(schema_path, variants, denylist, ldthresh,
+                        mmap=False, dtype=np.float64):
+    """Load a block LD matrix from a schema, matched to `variants`
+    (reference load.py:237-354).
+
+    Returns (PackedLD ordered like `variants`, list of variant positions
+    missing LD info). `mmap` is accepted for CLI compatibility; packed
+    factors are staged in host RAM before transfer to device HBM.
+    """
+    del mmap  # packed staging is host-RAM; blocks move straight to HBM
+    factors = []
+    block_indices = []
+    var_reidx = variants.set_index('ID')
+    var_reidx['old_idx'] = np.arange(var_reidx.shape[0])
+    total_flipped = 0
+    for snp_path, ld_path in schema_iterator(schema_path):
+        snp_metadata = pd.read_csv(snp_path, header=None,
+                                   names=['ID', 'CHROM', 'BP',
+                                          'CM', 'A1', 'A2'], **_WS)
+        logging.info('LD matrix shape: %s',
+                     ((snp_metadata.shape[0], snp_metadata.shape[0]),))
+
+        variant_indices = np.array(snp_metadata.ID.isin(variants.ID))
+        if np.sum(variant_indices) == 0:
+            continue
+        kept_ids = snp_metadata.ID[variant_indices]
+        idx = var_reidx.loc[kept_ids].old_idx.to_numpy().flatten()
+        keep = np.isin(idx, denylist, invert=True)
+        to_change = np.where(variant_indices)[0][~keep]
+        variant_indices[to_change] = False
+        logging.info('Proportion of variant indices being used: %e',
+                     np.mean(variant_indices))
+        kept_ids = kept_ids.iloc[keep]
+        idx = idx[keep]
+        if len(idx) == 0:
+            continue
+        signs = np.ones(len(idx))
+        my_a1 = variants['A1'].iloc[idx].to_numpy()
+        my_a2 = variants['A2'].iloc[idx].to_numpy()
+        ld_a1 = snp_metadata['A1'].iloc[variant_indices].to_numpy()
+        ld_a2 = snp_metadata['A2'].iloc[variant_indices].to_numpy()
+        stay = (my_a1 == ld_a1) & (my_a2 == ld_a2)
+        flip = (my_a1 == ld_a2) & (my_a2 == ld_a1)
+        total_flipped += int(flip.sum())
+        mismatch = (~flip) & (~stay)
+        if len(idx[~mismatch]) == 0:
+            continue
+        signs[flip] = -1
+
+        accepted_matrix = load_ld_mat(ld_path, variant_indices, mismatch,
+                                      signs)
+        block_indices.append(idx[~mismatch])
+        factors.append(lowrank.factor_block(X=accepted_matrix, t=ldthresh,
+                                            check_symmetric=False))
+
+    n = variants.shape[0]
+    packed = blocks_mod.pack(factors, block_indices, n, dtype=dtype)
+    list_of_missing = list(packed.missing)
+    logging.info('Loaded a total of %d variants.', n)
+    logging.warning('Missing LD info for %d variants. They will be ignored '
+                    'during optimization.', len(list_of_missing))
+    logging.warning('The alleles did not match for %d variants. They were '
+                    'flipped', total_flipped)
+    return packed, list_of_missing
