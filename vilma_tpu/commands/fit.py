@@ -199,11 +199,10 @@ def main(args):
 
 
 def _configure_precision(precision):
+    # TPUs have no native f64: the parity-grade f64 path runs on the host
+    # CPU backend, while --precision f32 keeps the accelerator backend.
+    # Platform must be pinned before any backend initialization.
     import jax
     if precision == 'f64':
         jax.config.update('jax_enable_x64', True)
-        if jax.default_backend() == 'tpu':
-            logging.warning('f64 requested on a TPU backend; falling back '
-                            'to CPU for the solver. Use --precision f32 '
-                            'for the TPU fast path.')
-            jax.config.update('jax_platforms', 'cpu')
+        jax.config.update('jax_platforms', 'cpu')

@@ -85,6 +85,10 @@ def sim_gwas(true_beta, std_errs, ld_mat):
 
 def main(args):
     np.random.seed(args.seed)
+    # simulation is f64 host-side work (matches reference precision)
+    import jax
+    jax.config.update('jax_enable_x64', True)
+    jax.config.update('jax_platforms', 'cpu')
 
     num_pops = len(args.sumstats.split(','))
     names = list(map(str, range(num_pops)))

@@ -197,9 +197,13 @@ def load_ld_from_schema(schema_path, variants, denylist, ldthresh,
 
     Returns (PackedLD ordered like `variants`, list of variant positions
     missing LD info). `mmap` is accepted for CLI compatibility; packed
-    factors are staged in host RAM before transfer to device HBM.
+    factors are staged in host RAM before transfer to device HBM. For
+    seeded-run parity we reproduce the reference's RNG stream in mmap mode:
+    its HDF5 spill path draws two random-100-char dataset names per block
+    from the global numpy RNG (reference matrix_structures.py:31-35,
+    120-135), which shifts every subsequent seeded draw (e.g. all `sim`
+    outputs, which hardcode mmap=True, reference sim.py:218-224).
     """
-    del mmap  # packed staging is host-RAM; blocks move straight to HBM
     factors = []
     block_indices = []
     var_reidx = variants.set_index('ID')
@@ -244,6 +248,12 @@ def load_ld_from_schema(schema_path, variants, denylist, ldthresh,
         block_indices.append(idx[~mismatch])
         factors.append(lowrank.factor_block(X=accepted_matrix, t=ldthresh,
                                             check_symmetric=False))
+        if mmap:
+            # consume the reference's two random-dataset-name draws
+            import string as _string
+            chars = list(_string.ascii_letters + _string.digits)
+            np.random.choice(chars, size=100)
+            np.random.choice(chars, size=100)
 
     n = variants.shape[0]
     packed = blocks_mod.pack(factors, block_indices, n, dtype=dtype)
