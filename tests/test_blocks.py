@@ -169,14 +169,48 @@ def test_ridge_inverse_dot_truncated():
 
 
 def test_matrix_power():
+    # unpermuted matrix (missing at the end): powers match dense powers
     rng = np.random.default_rng(12)
-    ld, dense, missing = _make_packed(rng, [5, 4])
+    ld, dense, missing = _make_packed(rng, [5, 4], permute=False)
     v = rng.standard_normal(dense.shape[0])
     sq = ld.matrix_power(2)
     assert np.allclose(np.asarray(sq.dot(v)), dense @ dense @ v)
     half = ld.matrix_power(0.5)
     assert np.allclose(np.asarray(half.dot(np.asarray(half.dot(v)))),
                        dense @ v, atol=1e-8)
+
+
+def test_matrix_power_forgets_permutation():
+    # reference semantics: BlockDiagonalMatrix.matrix_power rebuilds the
+    # matrix without perm (matrix_structures.py:410-416), so block results
+    # land at sequential offsets regardless of the genome permutation
+    rng = np.random.default_rng(24)
+    sizes = [5, 4]
+    ld, dense, missing = _make_packed(rng, sizes, permute=True)
+    v = rng.standard_normal(dense.shape[0])
+    # expected: blocks squared at sequential offsets, zeros at the end
+    sq = ld.matrix_power(2)
+    got = np.asarray(sq.dot(v))
+    live = np.setdiff1d(np.arange(dense.shape[0]), missing)
+    # recover per-block dense in insertion order from the packed object
+    expect = np.zeros_like(v)
+    perm_all = np.concatenate(
+        [np.asarray(bk.perm).reshape(-1) for bk in ld.buckets])
+    # sequential composition equals the permuted-submatrix square applied
+    # in block coordinates
+    seq_dense = np.zeros((dense.shape[0], dense.shape[0]))
+    offset = 0
+    for bk in ld.buckets:
+        for b in range(bk.num_blocks):
+            rows = np.asarray(bk.perm)[b]
+            rows = rows[rows < dense.shape[0]]
+            sub = dense[np.ix_(rows, rows)]
+            nb = len(rows)
+            seq = np.asarray(bk.seq)[b][:nb]
+            seq_dense[np.ix_(seq, seq)] = sub @ sub
+            offset += nb
+    expect = seq_dense @ v
+    assert np.allclose(got, expect)
 
 
 def test_get_rank():

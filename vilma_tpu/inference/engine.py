@@ -327,11 +327,12 @@ def _update_error_scaling(data, st):
     return st, new_obj - orig_obj
 
 
-@partial(jax.jit, static_argnames=('line_search_rate',))
-def outer_step(data, st, line_search_rate=2.0):
+def outer_step_impl(data, st, line_search_rate=2.0):
     """One full coordinate-ascent iteration
     (reference _optimize_step/_nat_grad_step,
-    variational_inference.py:396-450), jitted end-to-end."""
+    variational_inference.py:396-450). Pure function — jit via
+    `outer_step`, or chain multiple iterations on-device with lax
+    loops (see bench.py)."""
     conv_tol = jnp.where(jnp.isnan(st.running_elbo_delta),
                          jnp.inf, 0.1 * st.running_elbo_delta)
     st, delta_beta = _beta_loop(data, st, conv_tol, line_search_rate)
@@ -358,6 +359,10 @@ def outer_step(data, st, line_search_rate=2.0):
                              running_elbo_delta=red)
     post_mean = posterior_mean(st.vi_mu, st.vi_delta) * data.scalings
     return st, post_mean
+
+
+outer_step = partial(jax.jit, static_argnames=('line_search_rate',))(
+    outer_step_impl)
 
 
 # ---------------------------------------------------------------------------

@@ -58,6 +58,13 @@ class BlockBucket:
     inv_s: jnp.ndarray    # [B, Rmax]
     d: jnp.ndarray        # [B, Pmax]
     perm: jnp.ndarray     # [B, Pmax] int32, pads -> n_total
+    seq: jnp.ndarray      # [B, Pmax] int32 sequential (block-order)
+    #   positions, pads -> n_total; used by matrix_power which — matching
+    #   the reference — forgets the genome permutation
+    #   (matrix_structures.py:410-416 constructs the powered matrix
+    #   without perm=, so block results land at sequential offsets with
+    #   missing indices at the end; the reference's sim goldens depend on
+    #   this)
 
     @property
     def num_blocks(self):
@@ -74,7 +81,7 @@ class BlockBucket:
 
 jax.tree_util.register_dataclass(
     BlockBucket,
-    data_fields=('u', 's', 'inv_s', 'd', 'perm'),
+    data_fields=('u', 's', 'inv_s', 'd', 'perm', 'seq'),
     meta_fields=(),
 )
 
@@ -164,13 +171,16 @@ def pack(factors, block_indices, n, dtype=np.float64):
         raise ValueError('block index out of range')
     missing = tuple(sorted(set(range(n)) - set(covered.tolist())))
 
+    # sequential (insertion-order) offsets, used by matrix_power parity
+    seq_starts = np.concatenate([[0], np.cumsum([f.n for f in factors])])
+
     groups = {}
-    for f, ix in zip(factors, block_indices):
+    for pos, (f, ix) in enumerate(zip(factors, block_indices)):
         ix = np.asarray(ix, dtype=np.int32)
         if f.n != ix.shape[0]:
             raise ValueError('factor size does not match its index list')
         key = (_pad_to_tier(f.n), _pad_rank(f.r))
-        groups.setdefault(key, []).append((f, ix))
+        groups.setdefault(key, []).append((f, ix, int(seq_starts[pos])))
 
     buckets = []
     for (pmax, rmax), items in sorted(groups.items()):
@@ -180,7 +190,8 @@ def pack(factors, block_indices, n, dtype=np.float64):
         inv_s = np.zeros((B, rmax), dtype=dtype)
         d = np.zeros((B, pmax), dtype=dtype)
         perm = np.full((B, pmax), n, dtype=np.int32)
-        for b, (f, ix) in enumerate(items):
+        seq = np.full((B, pmax), n, dtype=np.int32)
+        for b, (f, ix, start) in enumerate(items):
             u[b, :f.n, :f.r] = f.u
             s[b, :f.r] = f.s
             # reference inv_s semantics (matrix_structures.py:140-145):
@@ -190,10 +201,12 @@ def pack(factors, block_indices, n, dtype=np.float64):
             inv_s[b, :f.r] = iv
             d[b, :f.n] = f.d
             perm[b, :f.n] = ix
+            seq[b, :f.n] = np.arange(start, start + f.n, dtype=np.int32)
         buckets.append(BlockBucket(u=jnp.asarray(u), s=jnp.asarray(s),
                                    inv_s=jnp.asarray(inv_s),
                                    d=jnp.asarray(d),
-                                   perm=jnp.asarray(perm)))
+                                   perm=jnp.asarray(perm),
+                                   seq=jnp.asarray(seq)))
 
     has_diag = any(not np.allclose(f.d, 0) for f in factors)
     rank = float(sum(f.rank for f in factors))
@@ -315,7 +328,16 @@ def diag(ld):
 
 
 def matrix_power(ld, power):
-    """Elementwise power of eigenvalues (matrix_structures.py:205-211)."""
+    """Elementwise power of eigenvalues (matrix_structures.py:205-211).
+
+    Reference-faithful quirk: the reference's BlockDiagonalMatrix
+    .matrix_power rebuilds the matrix WITHOUT its permutation
+    (matrix_structures.py:410-416 omits perm=), so the powered matrix maps
+    block rows to sequential offsets with the missing indices at the end.
+    The reference's `sim` outputs (LD-correlated noise via
+    matrix_power(0.5), sim.py:151-155) depend on this, so we switch each
+    bucket's scatter map from `perm` to the precomputed `seq` positions.
+    """
     if ld.has_diag:
         raise NotImplementedError('Matrix powers where the diagonal '
                                   'approximation is not zero have '
@@ -323,10 +345,11 @@ def matrix_power(ld, power):
     new_buckets = []
     for bk in ld.buckets:
         s_new = jnp.where(bk.s > 0, bk.s, 1.0) ** power * (bk.s > 0)
-        inv_s_new = jnp.where(s_new > 0, 1.0 / jnp.where(s_new > 0, s_new, 1.0),
-                              0.0)
-        new_buckets.append(dataclasses.replace(bk, s=s_new.astype(bk.s.dtype),
-                                               inv_s=inv_s_new.astype(bk.s.dtype)))
+        inv_s_new = jnp.where(s_new > 0,
+                              1.0 / jnp.where(s_new > 0, s_new, 1.0), 0.0)
+        new_buckets.append(dataclasses.replace(
+            bk, s=s_new.astype(bk.s.dtype),
+            inv_s=inv_s_new.astype(bk.s.dtype), perm=bk.seq))
     return dataclasses.replace(ld, buckets=tuple(new_buckets))
 
 
