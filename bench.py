@@ -8,30 +8,101 @@ reference's precision; its numba kernels are also CPU machine code, so
 CPU-f64 time is a reference-class anchor). The accelerator run uses the
 f32 fast path. Iterations are chained on-device with lax.fori_loop so
 per-call host/tunnel latency does not pollute the measurement.
+
+The synthetic problem's LD eigendecompositions are cached on disk
+(.bench_cache/) — the one-time LAPACK factorization of ~100 blocks takes
+minutes and is not what this benchmark measures.
 """
 import json
+import os
 import time
 
 import numpy as np
 
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         '.bench_cache')
 
-def _build(dtype, backend_device, num_loci, num_components, block_size):
+NUM_LOCI = 100_000
+NUM_COMPONENTS = 18
+BLOCK_SIZE = 1024
+RANK_FRAC = 0.5
+N_STEPS = 5
+
+
+def _cached_ld(dtype):
+    from vilma_tpu.ops import blocks, lowrank
+
+    tag = f'ld_{NUM_LOCI}_{BLOCK_SIZE}_{RANK_FRAC}'
+    path = os.path.join(CACHE_DIR, tag + '.npz')
+    if os.path.exists(path):
+        z = np.load(path)
+        nb = int(z['num_blocks'])
+        factors = [lowrank.LowRankFactor(u=z[f'u{i}'], s=z[f's{i}'],
+                                         d=z[f'd{i}'],
+                                         rank=int(z[f'r{i}']))
+                   for i in range(nb)]
+        indices = [z[f'ix{i}'] for i in range(nb)]
+        return blocks.pack(factors, indices, NUM_LOCI, dtype=dtype)
+
+    rng = np.random.default_rng(0)
+    factors, indices = [], []
+    start = 0
+    while start < NUM_LOCI:
+        n = min(BLOCK_SIZE, NUM_LOCI - start)
+        rho = rng.uniform(0.3, 0.95)
+        idx = np.abs(np.subtract.outer(np.arange(n), np.arange(n)))
+        f = lowrank.factor_block(X=rho ** idx, t=1.0,
+                                 check_symmetric=False)
+        r = max(1, int(f.r * RANK_FRAC))
+        order = np.argsort(f.s)[::-1][:r]
+        f = lowrank.LowRankFactor(u=np.ascontiguousarray(f.u[:, order]),
+                                  s=f.s[order], d=f.d, rank=int(r))
+        factors.append(f)
+        indices.append(np.arange(start, start + n))
+        start += n
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    payload = {'num_blocks': len(factors)}
+    for i, (f, ix) in enumerate(zip(factors, indices)):
+        payload.update({f'u{i}': f.u, f's{i}': f.s, f'd{i}': f.d,
+                        f'r{i}': f.rank, f'ix{i}': ix})
+    np.savez(path, **payload)
+    from vilma_tpu.ops import blocks
+    return blocks.pack(factors, indices, NUM_LOCI, dtype=dtype)
+
+
+def _build(dtype, device):
     import jax
+    from vilma_tpu.inference import engine
     from vilma_tpu.utils import synthetic
 
-    # build on the host CPU (f64-capable), then place on the target device
     with jax.default_device(jax.devices('cpu')[0]):
-        data = synthetic.synthetic_problem(
-            num_loci=num_loci, num_pops=2, num_components=num_components,
-            block_size=block_size, num_annotations=4, dtype=dtype,
-            rank_frac=0.5)
+        ld = _cached_ld(dtype)
+        rng = np.random.default_rng(1)
+        P = 2
+        std_errs = rng.uniform(0.01, 0.05, (P, NUM_LOCI))
+        betas = rng.standard_normal((P, NUM_LOCI)) * std_errs * 2
+        scales = np.exp(np.linspace(np.log(1e-6), np.log(1e-2),
+                                    NUM_COMPONENTS))
+        covs = []
+        for k in range(NUM_COMPONENTS):
+            a = rng.standard_normal((P, P))
+            corr = 0.3 * (a @ a.T) + P * np.eye(P)
+            d = 1 / np.sqrt(np.diag(corr))
+            covs.append(scales[k] * (corr * np.outer(d, d)))
+        annotations = np.zeros((NUM_LOCI, 4))
+        annotations[np.arange(NUM_LOCI),
+                    rng.integers(0, 4, NUM_LOCI)] = 1
+        data = engine.build_model_data(
+            betas.astype(dtype), std_errs.astype(dtype), [ld, ld],
+            annotations, covs, scaled=False, scale_se=False,
+            gwas_N=np.full(P, 1e5), init_hg=np.full(P, 0.3), dtype=dtype)
         state = synthetic.synthetic_state(data)
-    data = jax.device_put(data, backend_device)
-    state = jax.device_put(state, backend_device)
+    data = jax.device_put(data, device)
+    state = jax.device_put(state, device)
     return data, state
 
 
-def _bench_steps(data, state, n_steps, device):
+def _bench_steps(data, state, n_steps):
     import jax
     from jax import lax
     from vilma_tpu.inference import engine
@@ -43,23 +114,22 @@ def _bench_steps(data, state, n_steps, device):
             return st
         return lax.fori_loop(0, n_steps, body, st)
 
-    # warmup / compile
-    out = run(data, state)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    out = run(data, state)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    return n_steps / dt
+    # NOTE: block_until_ready does not reliably synchronize through
+    # remote-TPU tunnels; fetching a scalar to the host does.
+    out = run(data, state)       # compile + warmup
+    float(out.elbo)
+    best = float('inf')
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = run(data, out)
+        float(out.elbo)
+        best = min(best, time.perf_counter() - t0)
+    return n_steps / best
 
 
 def main():
     import jax
-
-    num_loci = 100_000
-    num_components = 18
-    block_size = 1024
-    n_steps = 5
+    jax.config.update('jax_enable_x64', True)
 
     cpu = jax.devices('cpu')[0]
     try:
@@ -67,15 +137,12 @@ def main():
     except IndexError:
         accel = None
 
-    jax.config.update('jax_enable_x64', True)
-    data64, state64 = _build(np.float64, cpu, num_loci, num_components,
-                             block_size)
-    cpu_ips = _bench_steps(data64, state64, n_steps, cpu)
+    data64, state64 = _build(np.float64, cpu)
+    cpu_ips = _bench_steps(data64, state64, N_STEPS)
 
     if accel is not None:
-        data32, state32 = _build(np.float32, accel, num_loci,
-                                 num_components, block_size)
-        accel_ips = _bench_steps(data32, state32, n_steps, accel)
+        data32, state32 = _build(np.float32, accel)
+        accel_ips = _bench_steps(data32, state32, N_STEPS)
         value = accel_ips
     else:
         value = cpu_ips

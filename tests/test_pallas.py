@@ -1,0 +1,28 @@
+"""Pallas kernel parity tests (interpret mode on CPU)."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from vilma_tpu.ops.pallas import block_matvec as pk
+
+
+def test_bucket_matvec_matches_einsum():
+    rng = np.random.default_rng(0)
+    B, P, R = 3, 128, 128
+    u = rng.standard_normal((B, P, R)).astype(np.float32)
+    s = rng.uniform(0.1, 2, (B, R)).astype(np.float32)
+    d = rng.uniform(0, 1, (B, P)).astype(np.float32)
+    x = rng.standard_normal((B, P)).astype(np.float32)
+    got = np.asarray(pk.bucket_matvec(jnp.asarray(u), jnp.asarray(s),
+                                      jnp.asarray(d), jnp.asarray(x),
+                                      interpret=True))
+    t = np.einsum('bpr,bp->br', u, x) * s
+    expect = np.einsum('bpr,br->bp', u, t) + d * x
+    assert np.allclose(got, expect, atol=1e-3)
+
+
+def test_supported_policy():
+    assert pk.supported(1024, 512, jnp.float32)
+    assert not pk.supported(8, 8, jnp.float32)
+    assert not pk.supported(1024, 512, jnp.float64)
+    assert not pk.supported(8192, 8192, jnp.float32)

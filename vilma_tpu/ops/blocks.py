@@ -240,15 +240,33 @@ def _scatter_accumulate(parts, n, dtype):
     return out[:n]
 
 
+#: When True, buckets that satisfy pallas.block_matvec.supported() use the
+#: fused single-pass Pallas kernel for `dot` (TPU f32 path); others and all
+#: other backends use the XLA batched-einsum path.
+_USE_PALLAS = False
+
+
+def enable_pallas(on=True):
+    global _USE_PALLAS
+    _USE_PALLAS = bool(on)
+
+
+def _bucket_dot(bk, xb):
+    if _USE_PALLAS:
+        from vilma_tpu.ops.pallas import block_matvec as pk
+        if pk.supported(bk.pmax, bk.rmax, bk.u.dtype):
+            return pk.bucket_matvec(bk.u, bk.s, bk.d, xb)
+    t = jnp.einsum('bpr,bp->br', bk.u, xb) * bk.s             # [B, R]
+    return jnp.einsum('bpr,br->bp', bk.u, t) + bk.d * xb
+
+
 def dot(ld, vector):
     """Matrix @ vector (reference matrix_structures.py:389-408)."""
     x_ext = _extend(vector)
     parts = []
     for bk in ld.buckets:
         xb = x_ext[bk.perm]                                   # [B, P]
-        t = jnp.einsum('bpr,bp->br', bk.u, xb) * bk.s         # [B, R]
-        yb = jnp.einsum('bpr,br->bp', bk.u, t) + bk.d * xb
-        parts.append((bk.perm, yb))
+        parts.append((bk.perm, _bucket_dot(bk, xb)))
     return _scatter_accumulate(parts, ld.n, vector.dtype)
 
 

@@ -5,7 +5,6 @@ import numpy as np
 
 from vilma_tpu.ops import blocks, lowrank
 from vilma_tpu.inference import engine
-from vilma_tpu.models import mixture
 
 
 def synthetic_ld(num_loci, block_size, rank_frac=1.0, seed=0,
@@ -41,9 +40,16 @@ def synthetic_problem(num_loci=1024, num_pops=2, num_components=8,
     ld_mats = [ld for _ in range(num_pops)]
     std_errs = rng.uniform(0.01, 0.05, (num_pops, num_loci))
     betas = rng.standard_normal((num_pops, num_loci)) * std_errs * 2
-    mins = np.full(num_pops, 1e-6)
-    maxes = np.full(num_pops, 1e-2)
-    covs = mixture.make_simple(num_pops, num_components, mins, maxes)
+    # exactly num_components mixture covariances (unlike the CLI grid,
+    # which crosses variances x correlations into O(3K^2) components)
+    scales = np.exp(np.linspace(np.log(1e-6), np.log(1e-2),
+                                num_components))
+    covs = []
+    for k in range(num_components):
+        a = rng.standard_normal((num_pops, num_pops))
+        corr = 0.3 * (a @ a.T) + num_pops * np.eye(num_pops)
+        d = 1 / np.sqrt(np.diag(corr))
+        covs.append(scales[k] * (corr * np.outer(d, d)))
     annotations = np.zeros((num_loci, num_annotations))
     annotations[np.arange(num_loci),
                 rng.integers(0, num_annotations, num_loci)] = 1
