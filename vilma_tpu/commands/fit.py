@@ -84,6 +84,19 @@ def args(super_parser):
                         help='Numerical precision of the solver. f64 '
                              'matches the reference bit-for-bit tolerance '
                              '(CPU); f32 is the fast path on TPU.')
+    parser.add_argument('--mesh', type=str, default='',
+                        help='Shard the fit over a device mesh, e.g. '
+                             '"snp=8" or "comp=2,snp=4". Axes: snp '
+                             '(LD-block/sequence sharding), comp (mixture-'
+                             'component sharding). Defaults to single-'
+                             'device execution.')
+    parser.add_argument('--distributed', action='store_true',
+                        help='Initialize jax.distributed for multi-host '
+                             'execution before building the mesh.')
+    parser.add_argument('--profile', type=str, default='',
+                        help='Write a jax profiler trace of the '
+                             'optimization to this directory '
+                             '(view with TensorBoard/XProf).')
     return parser
 
 
@@ -160,6 +173,15 @@ def main(args):
             pickle.dump([cross_pop_covs], ofile)
 
     logging.info('Fitting...')
+    import jax
+    if args.distributed:
+        jax.distributed.initialize()
+    mesh = None
+    if args.mesh:
+        from vilma_tpu.parallel import mesh as mesh_mod
+        axes = dict(kv.split('=') for kv in args.mesh.split(','))
+        mesh = mesh_mod.make_mesh(n_snp=int(axes.get('snp', 1)),
+                                  n_comp=int(axes.get('comp', 1)))
     from vilma_tpu.inference import MultiPopVI
     elbo = MultiPopVI(
         marginal_effects=betas.astype(dtype),
@@ -176,11 +198,16 @@ def main(args):
         init_hg=init_hg,
         num_its=args.num_its,
         dtype=dtype,
+        mesh=mesh,
     )
     checkpoint = None
     if args.load_checkpoint:
         checkpoint = np.load(args.load_checkpoint[0])
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
     state = elbo.optimize(checkpoint)
+    if args.profile:
+        jax.profiler.stop_trace()
 
     to_save = elbo.create_dump_dict(state)
     to_save['vi_sigma'] = elbo.vi_sigma

@@ -551,7 +551,7 @@ class MultiPopVI:
                  annotations=None, mixture_covs=None, checkpoint=True,
                  checkpoint_freq=5, scaled=False, scale_se=False,
                  output='vilma_output', gwas_N=None, init_hg=None,
-                 num_its=None, dtype=None):
+                 num_its=None, dtype=None, mesh=None):
         for name, val in [('marginal_effects', marginal_effects),
                           ('std_errs', std_errs), ('ld_mats', ld_mats),
                           ('annotations', annotations),
@@ -564,6 +564,10 @@ class MultiPopVI:
         self.data = build_model_data(marginal_effects, std_errs, ld_mats,
                                      annotations, mixture_covs, scaled,
                                      scale_se, gwas_N, init_hg, dtype=dtype)
+        self.mesh = mesh
+        if mesh is not None:
+            from vilma_tpu.parallel import mesh as mesh_mod
+            self.data = mesh_mod.shard_data(self.data, mesh)
         self.scaled = scaled
         self.scale_se = scale_se
         self.checkpoint = checkpoint
@@ -683,10 +687,20 @@ class MultiPopVI:
     def optimize(self, loaded_checkpoint=None):
         """Coordinate ascent until convergence
         (reference optimize(), variational_inference.py:340-394)."""
+        from contextlib import nullcontext
+        ctx = (jax.set_mesh(self.mesh) if self.mesh is not None
+               else nullcontext())
+        with ctx:
+            return self._optimize_impl(loaded_checkpoint)
+
+    def _optimize_impl(self, loaded_checkpoint=None):
         if loaded_checkpoint is None:
             st = self._initialize()
         else:
             st = self._state_from_checkpoint(loaded_checkpoint)
+        if self.mesh is not None:
+            from vilma_tpu.parallel import mesh as mesh_mod
+            st = mesh_mod.shard_state(st, self.mesh)
         st = dataclasses.replace(
             st, elbo=elbo_jit(self.data, st.sigma, st.error_scaling,
                               st.vi_mu, st.vi_delta, st.hyper_delta))
