@@ -200,7 +200,9 @@ def test_hyper_delta_update_closed_form():
     np.random.seed(42)
     scheme = make_scheme(num_annotations=2)
     st = scheme._initialize()
-    st2, _ = engine._update_hyper_delta(scheme.data, st)
+    obj0 = engine.elbo_jit(scheme.data, st.sigma, st.error_scaling,
+                           st.vi_mu, st.vi_delta, st.hyper_delta)
+    st2, _, _, _, _ = engine._update_hyper_delta(scheme.data, st, obj0)
     delta = np.asarray(st.vi_delta)
     annot = np.asarray(scheme.data.annotations)
     counts = np.asarray(scheme.data.annotation_counts)
@@ -216,7 +218,10 @@ def test_error_scaling_update_formula():
     np.random.seed(42)
     scheme = make_scheme(scale_se=True)
     st = scheme._initialize()
-    st2, _ = engine._update_error_scaling(scheme.data, st)
+    obj0, pm, lk = engine._beta_objective_terms(
+        scheme.data, st.sigma, st.error_scaling, st.vi_mu, st.vi_delta,
+        st.hyper_delta)
+    st2, _ = engine._update_error_scaling(scheme.data, st, obj0, pm, lk)
     data = scheme.data
     mean = np.asarray(engine.posterior_mean(st.vi_mu, st.vi_delta))
     var = np.asarray(engine.posterior_marginal_variance(

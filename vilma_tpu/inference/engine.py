@@ -122,19 +122,36 @@ def posterior_marginal_variance(mean, vi_mu, vi_delta, sigma):
     return kernels.fast_pmv(mean, vi_mu, vi_delta, sigma.diag)
 
 
-def log_likelihood(data, sigma, error_scaling, vi_mu, vi_delta):
-    """Expected log likelihood (variational_inference.py:452-470)."""
+def _ld_scaled_dot(data, post_means):
+    """linked = LD . (post_means / SE) for each population — the hot block
+    matvec (variational_inference.py:459,812)."""
+    scaled_mu = post_means / data.std_errs
+    return scaled_mu, jnp.stack(
+        [blocks_mod.dot(data.ld[p], scaled_mu[p])
+         for p in range(scaled_mu.shape[0])])
+
+
+def log_likelihood_terms(data, sigma, error_scaling, vi_mu, vi_delta):
+    """Expected log likelihood plus its reusable intermediates
+    (variational_inference.py:452-470). Returns (ll, post_means, linked)
+    where linked = LD.(post/SE); the natural gradient and the EM update
+    consume the same matvec (variational_inference.py:804-823,472-486), so
+    callers thread it through instead of recomputing."""
     post_means = posterior_mean(vi_mu, vi_delta)
     post_vars = posterior_marginal_variance(post_means, vi_mu, vi_delta,
                                             sigma)
-    scaled_mu = post_means / data.std_errs
-    linked_ests = jnp.stack(
-        [blocks_mod.dot(data.ld[p], scaled_mu[p])
-         for p in range(scaled_mu.shape[0])])
-    return kernels.fast_likelihood(post_means, post_vars, scaled_mu,
-                                   data.scaled_ld_diags, linked_ests,
-                                   data.adj_marginal_effects, data.chi_stat,
-                                   data.ld_ranks, error_scaling)
+    scaled_mu, linked_ests = _ld_scaled_dot(data, post_means)
+    ll = kernels.fast_likelihood(post_means, post_vars, scaled_mu,
+                                 data.scaled_ld_diags, linked_ests,
+                                 data.adj_marginal_effects, data.chi_stat,
+                                 data.ld_ranks, error_scaling)
+    return ll, post_means, linked_ests
+
+
+def log_likelihood(data, sigma, error_scaling, vi_mu, vi_delta):
+    """Expected log likelihood (variational_inference.py:452-470)."""
+    return log_likelihood_terms(data, sigma, error_scaling, vi_mu,
+                                vi_delta)[0]
 
 
 def beta_KL(data, sigma, vi_mu, vi_delta, hyper_delta):
@@ -162,6 +179,17 @@ def _beta_objective(data, sigma, error_scaling, vi_mu, vi_delta,
             - beta_KL(data, sigma, vi_mu, vi_delta, hyper_delta))
 
 
+def _beta_objective_terms(data, sigma, error_scaling, vi_mu, vi_delta,
+                          hyper_delta):
+    """(beta objective, post_means, linked) — objective plus the reusable
+    matvec intermediates. Note the beta objective equals the full ELBO in
+    MultiPopVI (annotation KL is 0), so this also serves elbo callers."""
+    ll, post_means, linked = log_likelihood_terms(
+        data, sigma, error_scaling, vi_mu, vi_delta)
+    obj = ll - beta_KL(data, sigma, vi_mu, vi_delta, hyper_delta)
+    return obj, post_means, linked
+
+
 elbo_jit = jax.jit(
     lambda data, sigma, error_scaling, vi_mu, vi_delta, hyper_delta:
     elbo(data, sigma, error_scaling, vi_mu, vi_delta, hyper_delta))
@@ -181,30 +209,36 @@ def nat_to_not_vi_delta(data, sigma, error_scaling, vi_mu,
 # Updates
 # ---------------------------------------------------------------------------
 
-def _nat_grad_beta(data, error_scaling, vi_mu, vi_delta):
+def _nat_grad_beta(data, error_scaling, post_mean, linked_raw):
     """Natural gradient for the beta family
-    (variational_inference.py:804-823). Returns [K, P, I] (constant in K)."""
-    post_mean = posterior_mean(vi_mu, vi_delta)
-    post_zs = post_mean / data.std_errs
-    linked = jnp.stack([blocks_mod.dot(data.ld[p], post_zs[p])
-                        for p in range(post_zs.shape[0])])
-    linked = kernels.fast_linked_ests(linked, data.std_errs, post_mean,
+    (variational_inference.py:804-823). Takes the posterior mean and the
+    raw matvec linked_raw = LD.(post_mean/SE) already computed by the
+    objective evaluation of the same parameters (exact reuse — the
+    reference recomputes them). Returns [K, P, I] (constant in K)."""
+    linked = kernels.fast_linked_ests(linked_raw, data.std_errs, post_mean,
                                       data.scaled_ld_diags)
     resid = (data.adj_marginal_effects - linked) / error_scaling[:, None]
     K = data.mixture_prec.shape[0]
     return jnp.broadcast_to(resid[None], (K,) + resid.shape)
 
 
-def _update_beta(data, st, orig_obj, line_search_rate):
+def _update_beta(data, st, orig_obj, cur_post_mean, cur_linked,
+                 line_search_rate):
     """One natural-gradient step with backtracking line search
     (variational_inference.py:762-802).
 
-    Returns (vi_mu, vi_delta, L0, orig_obj, new_obj, err_inc)."""
+    cur_post_mean/cur_linked are the posterior mean and LD.(mean/SE) of the
+    CURRENT params (already computed by whichever objective evaluation
+    produced orig_obj) — reused for the natural gradient, exactly as the
+    values the reference recomputes at variational_inference.py:807-812.
+
+    Returns (vi_mu, vi_delta, L0, new_obj, post_mean, linked, err_inc)
+    where post_mean/linked correspond to the returned params."""
     dterm = _diag_term(data, st.error_scaling)
     old_nat_mu = sigma_mod.apply_precision(data.mixture_prec, dterm,
                                            st.vi_mu)
-    nat_grad_mu = _nat_grad_beta(data, st.error_scaling, st.vi_mu,
-                                 st.vi_delta)
+    nat_grad_mu = _nat_grad_beta(data, st.error_scaling, cur_post_mean,
+                                 cur_linked)
     const_part = st.sigma.log_det_sigma.T
 
     def trial(L0):
@@ -213,48 +247,56 @@ def _update_beta(data, st, orig_obj, line_search_rate):
         new_mu = sigma_mod.apply_sigma(data.mixture_prec, dterm, nat_mu)
         new_vd = kernels.fast_invert_nat_vi_delta(
             new_mu, nat_mu, const_part, st.nat_grad_vi_delta)
-        new_obj = _beta_objective(data, st.sigma, st.error_scaling, new_mu,
-                                  new_vd, st.hyper_delta)
-        return new_mu, new_vd, new_obj
+        new_obj, pm, lk = _beta_objective_terms(
+            data, st.sigma, st.error_scaling, new_mu, new_vd,
+            st.hyper_delta)
+        return new_mu, new_vd, new_obj, pm, lk
 
     threshold = orig_obj - REL_TOL * jnp.abs(orig_obj) - ABS_TOL
 
     def cond(carry):
-        L0, _, _, new_obj = carry
+        L0, _, _, new_obj, _, _ = carry
         return jnp.logical_and(new_obj < threshold, L0 <= L_MAX)
 
     def body(carry):
-        L0, _, _, _ = carry
+        L0 = carry[0]
         L_next = L0 * line_search_rate
-        new_mu, new_vd, new_obj = trial(L_next)
-        return (L_next, new_mu, new_vd, new_obj)
+        return (L_next,) + trial(L_next)
 
     L0 = st.L[0]
     init = (L0,) + trial(L0)
-    L0, new_mu, new_vd, new_obj = jax.lax.while_loop(cond, body, init)
+    L0, new_mu, new_vd, new_obj, pm, lk = jax.lax.while_loop(cond, body,
+                                                             init)
 
     accepted = new_obj >= threshold
     err = jnp.logical_and(L0 > L_MAX,
                           jnp.logical_not(_isclose(orig_obj, new_obj)))
     vi_mu = jnp.where(accepted, new_mu, st.vi_mu)
     vi_delta = jnp.where(accepted, new_vd, st.vi_delta)
+    post_mean = jnp.where(accepted, pm, cur_post_mean)
+    linked = jnp.where(accepted, lk, cur_linked)
     new_obj = jnp.where(accepted, new_obj, orig_obj)
-    return vi_mu, vi_delta, L0, new_obj, err.astype(jnp.int32)
+    return vi_mu, vi_delta, L0, new_obj, post_mean, linked, err.astype(
+        jnp.int32)
 
 
 def _beta_loop(data, st, conv_tol, line_search_rate):
     """Up to MAX_NUM_ITERS beta updates (variational_inference.py:427-439),
     stopping once the objective gain is below conv_tol or L hits its
-    bounds."""
-    obj0 = _beta_objective(data, st.sigma, st.error_scaling, st.vi_mu,
-                           st.vi_delta, st.hyper_delta)
+    bounds. Returns (state, objective delta, final objective, post_mean,
+    linked) — the final objective value and matvec intermediates feed the
+    hyper-delta update, which would otherwise recompute them
+    (the beta objective == the full ELBO here)."""
+    obj0, pm0, lk0 = _beta_objective_terms(
+        data, st.sigma, st.error_scaling, st.vi_mu, st.vi_delta,
+        st.hyper_delta)
 
     def body(carry):
-        st, orig_obj, delta, it, _ = carry
+        st, orig_obj, pm, lk, delta, it, _ = carry
         L0 = jnp.maximum(1., st.L[0] / 1.25)
         st = dataclasses.replace(st, L=st.L.at[0].set(L0))
-        vi_mu, vi_delta, L0, new_obj, err = _update_beta(
-            data, st, orig_obj, line_search_rate)
+        vi_mu, vi_delta, L0, new_obj, pm, lk, err = _update_beta(
+            data, st, orig_obj, pm, lk, line_search_rate)
         st = dataclasses.replace(
             st, vi_mu=vi_mu, vi_delta=vi_delta, L=st.L.at[0].set(L0),
             num_err=st.num_err + err)
@@ -262,26 +304,27 @@ def _beta_loop(data, st, conv_tol, line_search_rate):
         done = jnp.logical_or(
             jnp.abs(new_obj - orig_obj) <= conv_tol,
             jnp.logical_or(L0 == 1., L0 > L_MAX))
-        return st, new_obj, delta, it + 1, done
+        return st, new_obj, pm, lk, delta, it + 1, done
 
     def cond(carry):
-        _, _, _, it, done = carry
+        it, done = carry[5], carry[6]
         return jnp.logical_and(it < MAX_NUM_ITERS, jnp.logical_not(done))
 
-    st, _, delta, _, _ = jax.lax.while_loop(
-        cond, body, (st, obj0, jnp.zeros_like(obj0), jnp.asarray(0),
-                     jnp.asarray(False)))
-    return st, delta
+    st, obj, pm, lk, delta, _, _ = jax.lax.while_loop(
+        cond, body, (st, obj0, pm0, lk0, jnp.zeros_like(obj0),
+                     jnp.asarray(0), jnp.asarray(False)))
+    return st, delta, obj, pm, lk
 
 
-def _update_hyper_delta(data, st):
+def _update_hyper_delta(data, st, orig_obj):
     """Closed-form per-annotation mixture-weight update
     (variational_inference.py:825-860). The reference's inner loop always
     exits after one iteration for this paramset (its L stays pinned at 1,
-    variational_inference.py:430,436-437), so a single update is exact."""
+    variational_inference.py:430,436-437), so a single update is exact.
+    orig_obj is the ELBO of the current params (the beta loop's final
+    objective — identical to the value the reference recomputes at
+    variational_inference.py:828-831 since the annotation KL is 0)."""
     eps = epsilon(st.vi_delta.dtype)
-    orig_obj = elbo(data, st.sigma, st.error_scaling, st.vi_mu, st.vi_delta,
-                    st.hyper_delta)
     new_hd = kernels.sum_annotations(st.vi_delta, data.annotations,
                                      data.num_annotations)
     new_hd = jnp.maximum(
@@ -291,25 +334,24 @@ def _update_hyper_delta(data, st):
                                                    data.annotations)
     new_vd = nat_to_not_vi_delta(data, st.sigma, st.error_scaling, st.vi_mu,
                                  nat_grad_vi_delta)
-    new_obj = elbo(data, st.sigma, st.error_scaling, st.vi_mu, new_vd,
-                   new_hd)
+    new_obj, pm, lk = _beta_objective_terms(
+        data, st.sigma, st.error_scaling, st.vi_mu, new_vd, new_hd)
     st = dataclasses.replace(st, vi_delta=new_vd, hyper_delta=new_hd,
                              nat_grad_vi_delta=nat_grad_vi_delta)
-    return st, new_obj - orig_obj
+    return st, new_obj - orig_obj, new_obj, pm, lk
 
 
-def _update_error_scaling(data, st):
+def _update_error_scaling(data, st, orig_obj, post_means, linked):
     """EM update of the per-population error scalings + vi_sigma refresh
-    (variational_inference.py:441-448,472-486,735-738)."""
-    orig_obj = elbo(data, st.sigma, st.error_scaling, st.vi_mu, st.vi_delta,
-                    st.hyper_delta)
-    post_means = posterior_mean(st.vi_mu, st.vi_delta)
+    (variational_inference.py:441-448,472-486,735-738). orig_obj /
+    post_means / linked come from the preceding hyper-delta objective
+    evaluation of the same params (exact reuse of the quantities the
+    reference recomputes at variational_inference.py:442,475-482 —
+    including the LD.(mean/SE) matvec inside the quadratic form)."""
     post_vars = posterior_marginal_variance(post_means, st.vi_mu,
                                             st.vi_delta, st.sigma)
     scaled_mu = post_means / data.std_errs
-    quad = jnp.stack([
-        jnp.dot(scaled_mu[p], blocks_mod.dot(data.ld[p], scaled_mu[p]))
-        for p in range(scaled_mu.shape[0])])
+    quad = jnp.einsum('pi,pi->p', scaled_mu, linked)
     new_scaling = (
         data.chi_stat
         - 2 * jnp.einsum('pi,pi->p', post_means, data.adj_marginal_effects)
@@ -335,20 +377,23 @@ def outer_step_impl(data, st, line_search_rate=2.0):
     loops (see bench.py)."""
     conv_tol = jnp.where(jnp.isnan(st.running_elbo_delta),
                          jnp.inf, 0.1 * st.running_elbo_delta)
-    st, delta_beta = _beta_loop(data, st, conv_tol, line_search_rate)
-    st, delta_hyper = _update_hyper_delta(data, st)
+    st, delta_beta, obj, pm, lk = _beta_loop(data, st, conv_tol,
+                                             line_search_rate)
+    st, delta_hyper, obj, pm, lk = _update_hyper_delta(data, st, obj)
     # the annotation update is a no-op in MultiPopVI
     # (variational_inference.py:862-866)
     new_elbo_delta = delta_beta + delta_hyper
 
     if data.scale_se:
-        def do_em(st):
-            return _update_error_scaling(data, st)
+        def do_em(args):
+            st, obj, pm, lk = args
+            return _update_error_scaling(data, st, obj, pm, lk)
 
-        def skip(st):
-            return st, jnp.zeros_like(new_elbo_delta)
+        def skip(args):
+            return args[0], jnp.zeros_like(new_elbo_delta)
 
-        st, em_delta = jax.lax.cond(new_elbo_delta < EM_TOL, do_em, skip, st)
+        st, em_delta = jax.lax.cond(new_elbo_delta < EM_TOL, do_em, skip,
+                                    (st, obj, pm, lk))
         new_elbo_delta = new_elbo_delta + em_delta
 
     red = jnp.where(jnp.isnan(st.running_elbo_delta), new_elbo_delta,
