@@ -155,12 +155,19 @@ def log_likelihood(data, sigma, error_scaling, vi_mu, vi_delta):
 
 
 def beta_KL(data, sigma, vi_mu, vi_delta, hyper_delta):
-    """KL of the effect-size VI family (variational_inference.py:873-885)."""
+    """KL of the effect-size VI family (variational_inference.py:873-885).
+
+    SNP-axis padding slots (annotation id == num_annotations, see
+    parallel/padding.py) are masked out of the covariance term; they are
+    already inert in the other two terms (vi_mu is 0 there and
+    fast_delta_kl masks internally)."""
     delta_comp = kernels.fast_delta_kl(vi_delta, hyper_delta,
                                        data.annotations)
     inner = kernels.fast_inner_product_comp(vi_mu, data.mixture_prec,
                                             vi_delta)
-    fast_comp = kernels.fast_beta_kl(sigma.sigma_summary, vi_delta)
+    real = (data.annotations < data.num_annotations)[:, None]
+    fast_comp = 0.5 * jnp.sum(
+        jnp.where(real, sigma.sigma_summary * vi_delta, 0.0))
     return delta_comp + inner + fast_comp
 
 
@@ -610,8 +617,12 @@ class MultiPopVI:
                                      annotations, mixture_covs, scaled,
                                      scale_se, gwas_N, init_hg, dtype=dtype)
         self.mesh = mesh
+        self._orig_loci = self.data.marginal_effects.shape[1]
         if mesh is not None:
             from vilma_tpu.parallel import mesh as mesh_mod
+            from vilma_tpu.parallel import padding
+            self.data, self._orig_loci = padding.pad_model_data(
+                self.data, mesh.shape['snp'])
             self.data = mesh_mod.shard_data(self.data, mesh)
         self.scaled = scaled
         self.scale_se = scale_se
@@ -619,7 +630,9 @@ class MultiPopVI:
         self.checkpoint_freq = checkpoint_freq
         self.checkpoint_path = '%s-checkpoint' % output
         self.num_its = num_its
-        self.num_pops, self.num_loci = self.data.marginal_effects.shape
+        self.num_pops = self.data.marginal_effects.shape[0]
+        self.num_loci = self._orig_loci
+        self._padded_loci = self.data.marginal_effects.shape[1]
         self.num_mix = self.data.mixture_prec.shape[0]
         self.num_annotations = self.data.num_annotations
         self.state = None
@@ -639,7 +652,7 @@ class MultiPopVI:
         with reference vi_options.py:264 only — never used in compute)."""
         dterm = _diag_term(self.data, self.state.error_scaling)
         return np.asarray(sigma_mod.materialize_sigma(
-            self.data.mixture_prec, dterm))
+            self.data.mixture_prec, dterm))[..., :self._orig_loci]
 
     def _fresh_state(self, error_scaling=None):
         dtype = self.data.marginal_effects.dtype
@@ -653,11 +666,11 @@ class MultiPopVI:
         K = self.num_mix
         zeros = lambda *s: jnp.zeros(s, dtype=dtype)  # noqa: E731
         return VIState(
-            vi_mu=zeros(K, self.num_pops, self.num_loci),
-            vi_delta=zeros(self.num_loci, K),
+            vi_mu=zeros(K, self.num_pops, self._padded_loci),
+            vi_delta=zeros(self._padded_loci, K),
             hyper_delta=zeros(self.num_annotations, K),
             error_scaling=error_scaling,
-            nat_grad_vi_delta=zeros(self.num_loci, K - 1),
+            nat_grad_vi_delta=zeros(self._padded_loci, K - 1),
             sigma=sig,
             L=jnp.ones(3, dtype=dtype),
             elbo=jnp.asarray(0., dtype=dtype),
@@ -667,8 +680,14 @@ class MultiPopVI:
 
     def _initialize(self):
         st = self._fresh_state()
-        fake_mu = make_fake_mu(self.data.inverse_betas, self.data.std_errs,
-                               self.data.ld_diags)
+        n = self._orig_loci
+        fake_mu = make_fake_mu(
+            np.asarray(self.data.inverse_betas)[:, :n],
+            np.asarray(self.data.std_errs)[:, :n],
+            np.asarray(self.data.ld_diags)[:, :n])
+        if self._padded_loci != n:
+            fake_mu = np.pad(fake_mu,
+                             ((0, 0), (0, self._padded_loci - n)))
         fake_mu = jnp.asarray(fake_mu,
                               dtype=self.data.marginal_effects.dtype)
         logging.info('Largest inverse_beta is %f',
@@ -694,10 +713,20 @@ class MultiPopVI:
         nat_vd = kernels.fast_vi_delta_grad(
             jnp.asarray(loaded_checkpoint['hyper_delta'], dtype=dtype),
             self.data.log_det, self.data.annotations)
+        vi_mu = np.asarray(loaded_checkpoint['vi_mu'], dtype=dtype)
+        vi_delta = np.asarray(loaded_checkpoint['vi_delta'], dtype=dtype)
+        pad = self._padded_loci - vi_mu.shape[-1]
+        if pad > 0:
+            vi_mu = np.pad(vi_mu, ((0, 0), (0, 0), (0, pad)))
+            # uniform rows keep log(vi_delta) finite; pads are masked out
+            # of every reduction and rewritten by the first update
+            vi_delta = np.concatenate(
+                [vi_delta, np.full((pad, vi_delta.shape[1]),
+                                   1.0 / vi_delta.shape[1], dtype=dtype)])
         return dataclasses.replace(
             st,
-            vi_mu=jnp.asarray(loaded_checkpoint['vi_mu'], dtype=dtype),
-            vi_delta=jnp.asarray(loaded_checkpoint['vi_delta'], dtype=dtype),
+            vi_mu=jnp.asarray(vi_mu),
+            vi_delta=jnp.asarray(vi_delta),
             hyper_delta=jnp.asarray(loaded_checkpoint['hyper_delta'],
                                     dtype=dtype),
             nat_grad_vi_delta=nat_vd)
@@ -709,25 +738,27 @@ class MultiPopVI:
 
     def create_dump_dict(self, st=None):
         st = st or self.state
+        n = self._orig_loci
         return {
-            'vi_mu': np.asarray(st.vi_mu),
-            'vi_delta': np.asarray(st.vi_delta),
+            'vi_mu': np.asarray(st.vi_mu)[:, :, :n],
+            'vi_delta': np.asarray(st.vi_delta)[:n],
             'hyper_delta': np.asarray(st.hyper_delta),
             'error_scaling': np.asarray(st.error_scaling),
-            'scalings': np.asarray(self.data.scalings),
+            'scalings': np.asarray(self.data.scalings)[:, :n],
         }
 
     def real_posterior_mean(self, st=None):
         st = st or self.state
         return np.asarray(posterior_mean(st.vi_mu, st.vi_delta)
-                          * self.data.scalings)
+                          * self.data.scalings)[:, :self._orig_loci]
 
     def real_posterior_variance(self, st=None):
         st = st or self.state
         mean = posterior_mean(st.vi_mu, st.vi_delta)
         pmv = posterior_marginal_variance(mean, st.vi_mu, st.vi_delta,
                                           st.sigma)
-        return np.asarray(pmv * self.data.scalings ** 2)
+        return np.asarray(pmv * self.data.scalings ** 2)[:,
+                                                         :self._orig_loci]
 
     def optimize(self, loaded_checkpoint=None):
         """Coordinate ascent until convergence

@@ -77,16 +77,24 @@ def fast_inner_product_comp(vi_mu, mixture_prec, vi_delta):
 
 
 def sum_annotations(deltas, annotations, num_annotations):
-    """Segment-sum of vi_delta rows by annotation id (numerics.py:118-129)."""
-    return jax.ops.segment_sum(deltas, annotations,
-                               num_segments=num_annotations)
+    """Segment-sum of vi_delta rows by annotation id (numerics.py:118-129).
+
+    Padding SNPs (annotation id == num_annotations, used when the SNP axis
+    is padded for even mesh sharding) accumulate into an extra segment that
+    is dropped, so they never perturb the real sums."""
+    return jax.ops.segment_sum(
+        deltas, annotations,
+        num_segments=num_annotations + 1)[:num_annotations]
 
 
 def fast_delta_kl(vi_delta, hyper_delta, annotations):
     """sum_i vi_delta[i] . (log vi_delta[i] - log hyper_delta[a_i])
-    (numerics.py:132-141)."""
-    log_hyper = jnp.log(hyper_delta)[annotations]          # [I, K]
-    return jnp.sum(vi_delta * (jnp.log(vi_delta) - log_hyper))
+    (numerics.py:132-141). Padding SNPs (annotation id == num rows of
+    hyper_delta) contribute zero."""
+    A = hyper_delta.shape[0]
+    log_hyper = jnp.log(hyper_delta)[jnp.minimum(annotations, A - 1)]
+    per_snp = jnp.sum(vi_delta * (jnp.log(vi_delta) - log_hyper), axis=1)
+    return jnp.sum(jnp.where(annotations < A, per_snp, 0.0))
 
 
 def fast_beta_kl(sigma_summary, vi_delta):
@@ -102,8 +110,9 @@ def fast_vi_delta_grad(hyper_delta, log_det, annotations):
     Returns [I, K-1]: (log hyper[a_i, k] - 0.5 log_det[k]) minus the
     last-component baseline.
     """
+    A = hyper_delta.shape[0]
     scores = jnp.log(hyper_delta) - 0.5 * log_det          # [A, K]
-    scores = scores[annotations]                           # [I, K]
+    scores = scores[jnp.minimum(annotations, A - 1)]       # [I, K]
     return scores[:, :-1] - scores[:, -1:]
 
 
