@@ -22,7 +22,14 @@ import numpy as np
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          '.bench_cache')
 
-NUM_LOCI = 100_000
+# BENCH_SIZE=1m selects the genome-scale configuration; BENCH_PALLAS=1
+# enables the fused Pallas block-matvec kernel on TPU.
+if os.environ.get('BENCH_SIZE', '100k') == '1m':
+    NUM_LOCI = 1_000_000
+    METRIC = 'vi_iterations_per_s_1m_snp_2pop_K18'
+else:
+    NUM_LOCI = 100_000
+    METRIC = 'vi_iterations_per_s_100k_snp_2pop_K18'
 NUM_COMPONENTS = 18
 BLOCK_SIZE = 1024
 RANK_FRAC = 0.5
@@ -141,6 +148,9 @@ def main():
     cpu_ips = _bench_steps(data64, state64, N_STEPS)
 
     if accel is not None:
+        if os.environ.get('BENCH_PALLAS') == '1':
+            from vilma_tpu.ops import blocks
+            blocks.enable_pallas(True)
         data32, state32 = _build(np.float32, accel)
         accel_ips = _bench_steps(data32, state32, N_STEPS)
         value = accel_ips
@@ -148,7 +158,7 @@ def main():
         value = cpu_ips
 
     print(json.dumps({
-        'metric': 'vi_iterations_per_s_100k_snp_2pop_K18',
+        'metric': METRIC,
         'value': round(value, 3),
         'unit': 'iters/s',
         'vs_baseline': round(value / cpu_ips, 3),
