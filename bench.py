@@ -134,28 +134,52 @@ def _bench_steps(data, state, n_steps):
     return n_steps / best
 
 
+def accel_main():
+    """Accelerator leg, run in a subprocess so a hung remote compile
+    cannot take down the whole benchmark."""
+    import jax
+    jax.config.update('jax_enable_x64', True)
+    accel = [d for d in jax.devices() if d.platform != 'cpu'][0]
+    if os.environ.get('BENCH_PALLAS') == '1':
+        from vilma_tpu.ops import blocks
+        blocks.enable_pallas(True)
+    data32, state32 = _build(np.float32, accel)
+    print('ACCEL_IPS', _bench_steps(data32, state32, N_STEPS), flush=True)
+
+
+def _run_accel_subprocess(timeout_s=1500):
+    import subprocess
+    import sys
+    env = dict(os.environ)
+    env['PYTHONPATH'] = (os.path.dirname(os.path.abspath(__file__))
+                         + os.pathsep + env.get('PYTHONPATH', ''))
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), '--accel'],
+            capture_output=True, text=True, timeout=timeout_s, env=env)
+        for line in out.stdout.splitlines():
+            if line.startswith('ACCEL_IPS'):
+                return float(line.split()[1])
+    except subprocess.TimeoutExpired:
+        pass
+    return None
+
+
 def main():
     import jax
     jax.config.update('jax_enable_x64', True)
 
     cpu = jax.devices('cpu')[0]
-    try:
-        accel = [d for d in jax.devices() if d.platform != 'cpu'][0]
-    except IndexError:
-        accel = None
+    have_accel = any(d.platform != 'cpu' for d in jax.devices())
 
     data64, state64 = _build(np.float64, cpu)
     cpu_ips = _bench_steps(data64, state64, N_STEPS)
 
-    if accel is not None:
-        if os.environ.get('BENCH_PALLAS') == '1':
-            from vilma_tpu.ops import blocks
-            blocks.enable_pallas(True)
-        data32, state32 = _build(np.float32, accel)
-        accel_ips = _bench_steps(data32, state32, N_STEPS)
-        value = accel_ips
-    else:
-        value = cpu_ips
+    value = cpu_ips
+    if have_accel:
+        accel_ips = _run_accel_subprocess()
+        if accel_ips is not None:
+            value = accel_ips
 
     print(json.dumps({
         'metric': METRIC,
@@ -166,4 +190,8 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    import sys
+    if '--accel' in sys.argv:
+        accel_main()
+    else:
+        main()

@@ -4,14 +4,15 @@ The hottest op in the VI loop (SURVEY.md section 3.2) is the
 block-diagonal LD matvec  y_b = U_b (s_b * (U_b^T x_b)) + d_b * x_b  over
 all blocks b. It is HBM-bandwidth-bound: the U_b tensors dominate traffic
 (Pmax*Rmax elements vs Pmax for everything else). XLA expresses it as two
-batched matmuls and reads each U_b from HBM twice; this kernel loads each
-U_b tile into VMEM once and performs both contractions (MXU) plus the
-elementwise tail (VPU) in one pass — a ~2x reduction of the dominant HBM
+batched matmuls and reads each U_b from HBM twice; this kernel streams
+each U_b tile through VMEM once and performs both contractions (MXU) plus
+the elementwise tail (VPU) in one pass — halving the dominant HBM
 traffic.
 
-Grid: one program per block. A [Pmax, Rmax] f32 tile must fit VMEM
-(<= 16MB), true for all bucket tiers (max 8192 x 8192 would not, but tiers
-above 2048 x 2048 fall back to XLA; see `supported`).
+Grid: one program per block, with the U tile double-buffered by the
+Pallas pipeline ((1, P, R) blocks). The small per-block vectors (s, d, x,
+y) are held in VMEM in full (hundreds of KB for ~100 blocks) and indexed
+by program id.
 """
 import jax
 import jax.numpy as jnp
@@ -19,22 +20,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(u_ref, s_ref, d_ref, x_ref, y_ref):
-    u = u_ref[0]                        # [P, R]
-    x = x_ref[:]                        # [1, P]
+def _kernel(s_ref, d_ref, x_ref, u_ref, y_ref):
+    b = pl.program_id(0)
+    u = u_ref[0]                                  # [P, R]
+    x = x_ref[b][None, :]                         # [1, P]
     t = jnp.dot(x, u, preferred_element_type=jnp.float32)   # [1, R]
-    t = t * s_ref[:]
+    t = t * s_ref[b][None, :]
     y = jax.lax.dot_general(
         t, u, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                 # [1, P]
-    y_ref[:] = y + d_ref[:] * x
+    y_ref[b, :] = (y + d_ref[b][None, :] * x)[0]
 
 
 def supported(pmax, rmax, dtype):
     """Whether the fused kernel applies to this bucket."""
     if dtype != jnp.float32:
         return False
-    if pmax * rmax * 4 > 8 * 1024 * 1024:   # tile must fit VMEM comfortably
+    if pmax * rmax * 4 > 8 * 1024 * 1024:   # U tile must fit VMEM (2 bufs)
         return False
     return pmax >= 128 and rmax >= 128
 
@@ -47,26 +49,21 @@ def bucket_matvec(u, s, d, x, interpret=False):
     Returns: [B, P].
     """
     B, P, R = u.shape
-    grid = (B,)
     return pl.pallas_call(
         _kernel,
-        grid=grid,
+        grid=(B,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # s (full)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # d (full)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # x (full)
             pl.BlockSpec((1, P, R), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM),   # u (per-block tile)
         ],
-        out_specs=pl.BlockSpec((1, P), lambda b: (b, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, P), x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * P * R,
             bytes_accessed=4 * B * (P * R + R + 3 * P),
             transcendentals=0),
         interpret=interpret,
-    )(u, s, d, x)
+    )(s, d, x, u)
