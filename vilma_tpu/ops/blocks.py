@@ -58,6 +58,10 @@ class BlockBucket:
     inv_s: jnp.ndarray    # [B, Rmax]
     d: jnp.ndarray        # [B, Pmax]
     perm: jnp.ndarray     # [B, Pmax] int32, pads -> n_total
+    grows: jnp.ndarray    # [B, Pmax/128] int32 gather row ids (row-aligned
+    #   fast path; all-zero placeholder otherwise — see `pack`)
+    srows: jnp.ndarray    # [B, Pmax/128] int32 scatter row ids (rows past a
+    #   block's true extent point at a trash row)
     seq: jnp.ndarray      # [B, Pmax] int32 sequential (block-order)
     #   positions, pads -> n_total; used by matrix_power which — matching
     #   the reference — forgets the genome permutation
@@ -81,7 +85,7 @@ class BlockBucket:
 
 jax.tree_util.register_dataclass(
     BlockBucket,
-    data_fields=('u', 's', 'inv_s', 'd', 'perm', 'seq'),
+    data_fields=('u', 's', 'inv_s', 'd', 'perm', 'grows', 'srows', 'seq'),
     meta_fields=(),
 )
 
@@ -102,6 +106,10 @@ class PackedLD:
     has_diag: bool            # True if any block has a nonzero diagonal part
     rank: float               # sum of per-block ranks (reference get_rank)
     missing: tuple            # genome indices with no LD block (sorted ints)
+    row_aligned: bool         # True when every block is a contiguous
+    #   128-aligned genome range with exclusive 128-rows: enables the
+    #   row-wise gather/scatter fast path in `dot` (TPU element gathers
+    #   run at ~70M elem/s; whole-128-lane-row transfers are ~4x faster)
 
     @property
     def shape(self):
@@ -145,7 +153,8 @@ class PackedLD:
 jax.tree_util.register_dataclass(
     PackedLD,
     data_fields=('buckets',),
-    meta_fields=('n', 'inverted', 'has_diag', 'rank', 'missing'),
+    meta_fields=('n', 'inverted', 'has_diag', 'rank', 'missing',
+                 'row_aligned'),
 )
 
 
@@ -182,15 +191,39 @@ def pack(factors, block_indices, n, dtype=np.float64):
         key = (_pad_to_tier(f.n), _pad_rank(f.r))
         groups.setdefault(key, []).append((f, ix, int(seq_starts[pos])))
 
+    # row-aligned fast path eligibility: every block is a contiguous
+    # ascending genome range starting at a multiple of 128 whose rounded
+    # 128-row extents are mutually exclusive
+    row_aligned = bool(block_indices)
+    claimed = set()
+    for f, ix in zip(factors, block_indices):
+        ix = np.asarray(ix)
+        if (ix.size == 0 or ix[0] % 128 != 0
+                or not np.array_equal(ix, ix[0] + np.arange(ix.size))):
+            row_aligned = False
+            break
+        rows = set(range(int(ix[0]) // 128,
+                         int(ix[0]) // 128 + -(-int(ix.size) // 128)))
+        if rows & claimed:
+            row_aligned = False
+            break
+        claimed |= rows
+
     buckets = []
     for (pmax, rmax), items in sorted(groups.items()):
         B = len(items)
+        rpb = pmax // 128 if pmax % 128 == 0 else 0
+        if rpb == 0:
+            row_aligned = False
+            rpb = 1
         u = np.zeros((B, pmax, rmax), dtype=dtype)
         s = np.zeros((B, rmax), dtype=dtype)
         inv_s = np.zeros((B, rmax), dtype=dtype)
         d = np.zeros((B, pmax), dtype=dtype)
         perm = np.full((B, pmax), n, dtype=np.int32)
         seq = np.full((B, pmax), n, dtype=np.int32)
+        grows = np.zeros((B, rpb), dtype=np.int32)
+        srows = np.zeros((B, rpb), dtype=np.int32)
         for b, (f, ix, start) in enumerate(items):
             u[b, :f.n, :f.r] = f.u
             s[b, :f.r] = f.s
@@ -202,16 +235,27 @@ def pack(factors, block_indices, n, dtype=np.float64):
             d[b, :f.n] = f.d
             perm[b, :f.n] = ix
             seq[b, :f.n] = np.arange(start, start + f.n, dtype=np.int32)
+            if row_aligned:
+                r0 = int(ix[0]) // 128
+                grows[b] = r0 + np.arange(rpb)
+                live = -(-f.n // 128)
+                # rows past the block's live extent target a trash row
+                # (index one past the padded vector; see `dot`)
+                srows[b, :live] = r0 + np.arange(live)
+                srows[b, live:] = -1
         buckets.append(BlockBucket(u=jnp.asarray(u), s=jnp.asarray(s),
                                    inv_s=jnp.asarray(inv_s),
                                    d=jnp.asarray(d),
                                    perm=jnp.asarray(perm),
+                                   grows=jnp.asarray(grows),
+                                   srows=jnp.asarray(srows),
                                    seq=jnp.asarray(seq)))
 
     has_diag = any(not np.allclose(f.d, 0) for f in factors)
     rank = float(sum(f.rank for f in factors))
     return PackedLD(buckets=tuple(buckets), n=n, inverted=False,
-                    has_diag=has_diag, rank=rank, missing=missing)
+                    has_diag=has_diag, rank=rank, missing=missing,
+                    row_aligned=row_aligned)
 
 
 def from_dense_blocks(blocks, block_indices, n, t=1.0, dtype=np.float64):
@@ -260,8 +304,35 @@ def _bucket_dot(bk, xb):
     return jnp.einsum('bpr,br->bp', bk.u, t) + bk.d * xb
 
 
+def _dot_row_aligned(ld, vector):
+    """Row-wise gather/scatter matvec for 128-aligned contiguous blocks.
+
+    TPU elementwise gathers move ~70M elements/s; transferring whole
+    128-lane rows is ~4x faster. The vector is viewed as [rows, 128];
+    each block reads/writes its exclusive row range (pad tails of the
+    widest bucket may read into neighbours — harmless — while writes are
+    routed to a trash row)."""
+    n = ld.n
+    max_rpb = max((bk.pmax // 128 for bk in ld.buckets), default=1)
+    rows = -(-n // 128) + max_rpb + 1      # slack rows + 1 trash row
+    x2 = jnp.zeros((rows, 128), vector.dtype)
+    x2 = x2.reshape(-1).at[:n].set(vector).reshape(rows, 128)
+    y2 = jnp.zeros_like(x2)
+    for bk in ld.buckets:
+        B, P = bk.d.shape
+        xb = x2[bk.grows].reshape(B, P)
+        yb = _bucket_dot(bk, xb)
+        # srows == -1 (pad tail) routes to the trash row `rows-1`
+        tgt = jnp.where(bk.srows < 0, rows - 1, bk.srows)
+        y2 = y2.at[tgt.reshape(-1)].add(
+            yb.reshape(B * (P // 128), 128))
+    return y2.reshape(-1)[:n]
+
+
 def dot(ld, vector):
     """Matrix @ vector (reference matrix_structures.py:389-408)."""
+    if ld.row_aligned:
+        return _dot_row_aligned(ld, vector)
     x_ext = _extend(vector)
     parts = []
     for bk in ld.buckets:
@@ -368,7 +439,9 @@ def matrix_power(ld, power):
         new_buckets.append(dataclasses.replace(
             bk, s=s_new.astype(bk.s.dtype),
             inv_s=inv_s_new.astype(bk.s.dtype), perm=bk.seq))
-    return dataclasses.replace(ld, buckets=tuple(new_buckets))
+    # the sequential layout invalidates the row-aligned gather tables
+    return dataclasses.replace(ld, buckets=tuple(new_buckets),
+                               row_aligned=False)
 
 
 def to_dense(ld):

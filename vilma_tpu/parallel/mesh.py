@@ -84,6 +84,8 @@ def _spec_for(name, ndim, mesh):
         'matches': P('snp', comp),
         # PackedLD buckets: shard the block axis
         'u': P('snp'),
+        'grows': P('snp'),
+        'srows': P('snp'),
         's': P('snp'),
         'inv_s': P('snp'),
         'd': P('snp'),

@@ -50,6 +50,10 @@ def _pad_ld(ld, new_n, block_multiple):
             inv_s=_pad_axis(bk.inv_s, 0, B_new),
             d=_pad_axis(bk.d, 0, B_new),
             perm=_pad_axis(perm, 0, B_new, value=new_n),
+            # pad blocks gather row 0 (zero contribution: their u/d are 0)
+            # and scatter to the trash row
+            grows=_pad_axis(bk.grows, 0, B_new, value=0),
+            srows=_pad_axis(bk.srows, 0, B_new, value=-1),
             seq=_pad_axis(seq, 0, B_new, value=new_n),
         )
         new_buckets.append(bk)
