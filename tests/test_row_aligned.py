@@ -60,7 +60,7 @@ def test_row_aligned_under_mesh_padding():
 
     if len(jax.devices()) < 8:
         return
-    data = synthetic.synthetic_problem(num_loci=512, num_pops=2,
+    data = synthetic.synthetic_problem(num_loci=1024, num_pops=2,
                                        num_components=2, block_size=128,
                                        num_annotations=2)
     assert data.ld[0].row_aligned
