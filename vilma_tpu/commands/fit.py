@@ -97,6 +97,14 @@ def args(super_parser):
                         help='Write a jax profiler trace of the '
                              'optimization to this directory '
                              '(view with TensorBoard/XProf).')
+    parser.add_argument('--align-layout', dest='align_layout',
+                        action='store_true',
+                        help='Relayout the problem so LD blocks occupy '
+                             '128-aligned memory spans, enabling the '
+                             'fast row-wise matvec path on TPU. Outputs '
+                             'are identical (inert padding slots); '
+                             'automatically skipped when blocks are not '
+                             'contiguous genome ranges.')
     return parser
 
 
@@ -172,6 +180,27 @@ def main(args):
         with open('%s.covariance.pkl' % args.output, 'wb') as ofile:
             pickle.dump([cross_pop_covs], ofile)
 
+    out_index = None
+    if args.align_layout:
+        from vilma_tpu.parallel import alignment
+        n_var = variants.shape[0]
+        layout_map, L, ok = alignment.compute_layout(combined_ld, n_var)
+        if ok:
+            logging.info('Aligned layout: %d variants -> %d slots', n_var,
+                         L)
+            combined_ld = [alignment.relayout_ld(ld, layout_map, L,
+                                                 dtype=dtype)
+                           for ld in combined_ld]
+            betas = alignment.relayout_rows(betas, layout_map, L, fill=0.0)
+            std_errs = alignment.relayout_rows(std_errs, layout_map, L,
+                                               fill=1.0)
+            annotations = alignment.relayout_annotations(annotations,
+                                                         layout_map, L)
+            out_index = layout_map
+        else:
+            logging.warning('LD blocks are not contiguous genome ranges; '
+                            'skipping --align-layout.')
+
     logging.info('Fitting...')
     import jax
     if args.distributed:
@@ -199,6 +228,7 @@ def main(args):
         num_its=args.num_its,
         dtype=dtype,
         mesh=mesh,
+        out_index=out_index,
     )
     checkpoint = None
     if args.load_checkpoint:

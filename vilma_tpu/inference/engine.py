@@ -484,7 +484,8 @@ def initialize_from_fake_mu(data, sigma, error_scaling, fake_mu):
 # ---------------------------------------------------------------------------
 
 @jax.jit
-def _precompute_stats(ld, marginal_effects, std_errs, gwas_N, init_hg):
+def _precompute_stats(ld, marginal_effects, std_errs, gwas_N, init_hg,
+                      real_mask):
     P = marginal_effects.shape[0]
     ld_diags = jnp.stack([blocks_mod.diag(ld[p]) for p in range(P)])
     z_scores = marginal_effects / std_errs
@@ -493,7 +494,11 @@ def _precompute_stats(ld, marginal_effects, std_errs, gwas_N, init_hg):
     chi_stat = jnp.einsum('pi,pi->p', z_scores, mle)
     adj = jnp.stack([blocks_mod.dot(ld[p], mle[p]) for p in range(P)])
     adj = adj / std_errs
-    prior = (2 * gwas_N * init_hg) / jnp.sum(std_errs ** -2, axis=1)
+    # layout-pad slots must not inflate the LDpred-style prior's SE^-2 sum
+    # (the reference sums over all real variants incl. missing,
+    # variational_inference.py:246-247)
+    prior = (2 * gwas_N * init_hg) / jnp.sum(
+        std_errs ** -2 * real_mask[None, :], axis=1)
     inv_z = jnp.stack([
         blocks_mod.ridge_inverse_dot(ld[p], adj[p] * std_errs[p],
                                      std_errs[p] ** 2 / prior[p])
@@ -527,7 +532,11 @@ def build_model_data(marginal_effects, std_errs, ld_mats, annotations,
             raise ValueError('LD matrix shape does not match '
                              'GWAS marginal effect size shape.')
     annotations = np.asarray(annotations)
-    if not np.allclose(annotations.sum(axis=1), 1):
+    row_sums = annotations.sum(axis=1)
+    # all-zero rows are layout-pad sentinels (parallel/alignment.py);
+    # anything else must be exactly one-hot (reference
+    # variational_inference.py:197-199)
+    if not np.all(np.isclose(row_sums, 1) | (row_sums == 0)):
         raise ValueError('Some SNPs are either missing annotations '
                          'or have more than one annotation.')
     if annotations.shape[0] != num_loci:
@@ -558,15 +567,18 @@ def build_model_data(marginal_effects, std_errs, ld_mats, annotations,
     gwas_N = jnp.asarray(np.asarray(gwas_N), dtype=dtype)
     init_hg = jnp.asarray(np.asarray(init_hg), dtype=dtype)
     ld_tuple = tuple(ld_mats)
+    real_mask = jnp.asarray((row_sums > 0).astype(dtype))
     ld_diags, chi_stat, adj, inverse_betas = _precompute_stats(
-        ld_tuple, marginal, use_std_errs_j, gwas_N, init_hg)
+        ld_tuple, marginal, use_std_errs_j, gwas_N, init_hg, real_mask)
 
     ld_diags_np = np.asarray(ld_diags)
     if not np.allclose(np.asarray(adj)[np.isclose(ld_diags_np, 0)], 0):
         raise ValueError('Some SNPs that are missing in the LD matrix '
                          'are not being treated as missing.')
 
-    annot_idx = np.where(annotations)[1].astype(np.int32)
+    num_annotations = annotations.shape[1]
+    annot_idx = np.where(row_sums > 0, np.argmax(annotations, axis=1),
+                         num_annotations).astype(np.int32)
     return ModelData(
         marginal_effects=marginal,
         std_errs=use_std_errs_j,
@@ -603,7 +615,10 @@ class MultiPopVI:
                  annotations=None, mixture_covs=None, checkpoint=True,
                  checkpoint_freq=5, scaled=False, scale_se=False,
                  output='vilma_output', gwas_N=None, init_hg=None,
-                 num_its=None, dtype=None, mesh=None):
+                 num_its=None, dtype=None, mesh=None, out_index=None):
+        """out_index: optional int array mapping original variant order to
+        positions in the (aligned-layout) inputs; outputs/checkpoints are
+        produced in original order (see parallel/alignment.py)."""
         for name, val in [('marginal_effects', marginal_effects),
                           ('std_errs', std_errs), ('ld_mats', ld_mats),
                           ('annotations', annotations),
@@ -617,11 +632,14 @@ class MultiPopVI:
                                      annotations, mixture_covs, scaled,
                                      scale_se, gwas_N, init_hg, dtype=dtype)
         self.mesh = mesh
-        self._orig_loci = self.data.marginal_effects.shape[1]
+        if out_index is None:
+            out_index = np.arange(self.data.marginal_effects.shape[1])
+        self._out_index = np.asarray(out_index)
+        self._orig_loci = int(self._out_index.shape[0])
         if mesh is not None:
             from vilma_tpu.parallel import mesh as mesh_mod
             from vilma_tpu.parallel import padding
-            self.data, self._orig_loci = padding.pad_model_data(
+            self.data, _ = padding.pad_model_data(
                 self.data, mesh.shape['snp'])
             self.data = mesh_mod.shard_data(self.data, mesh)
         self.scaled = scaled
@@ -633,6 +651,7 @@ class MultiPopVI:
         self.num_pops = self.data.marginal_effects.shape[0]
         self.num_loci = self._orig_loci
         self._padded_loci = self.data.marginal_effects.shape[1]
+        assert self._out_index.max(initial=-1) < self._padded_loci
         self.num_mix = self.data.mixture_prec.shape[0]
         self.num_annotations = self.data.num_annotations
         self.state = None
@@ -652,7 +671,7 @@ class MultiPopVI:
         with reference vi_options.py:264 only — never used in compute)."""
         dterm = _diag_term(self.data, self.state.error_scaling)
         return np.asarray(sigma_mod.materialize_sigma(
-            self.data.mixture_prec, dterm))[..., :self._orig_loci]
+            self.data.mixture_prec, dterm))[..., self._out_index]
 
     def _fresh_state(self, error_scaling=None):
         dtype = self.data.marginal_effects.dtype
@@ -680,14 +699,17 @@ class MultiPopVI:
 
     def _initialize(self):
         st = self._fresh_state()
-        n = self._orig_loci
-        fake_mu = make_fake_mu(
-            np.asarray(self.data.inverse_betas)[:, :n],
-            np.asarray(self.data.std_errs)[:, :n],
-            np.asarray(self.data.ld_diags)[:, :n])
-        if self._padded_loci != n:
-            fake_mu = np.pad(fake_mu,
-                             ((0, 0), (0, self._padded_loci - n)))
+        ix = self._out_index
+        # draw the init jitter over the original variant order so seeded
+        # runs consume the same RNG stream as the reference regardless of
+        # layout padding; pad slots keep vi_mu exactly 0
+        fake = make_fake_mu(
+            np.asarray(self.data.inverse_betas)[:, ix],
+            np.asarray(self.data.std_errs)[:, ix],
+            np.asarray(self.data.ld_diags)[:, ix])
+        fake_mu = np.zeros((self.num_pops, self._padded_loci),
+                           dtype=fake.dtype)
+        fake_mu[:, ix] = fake
         fake_mu = jnp.asarray(fake_mu,
                               dtype=self.data.marginal_effects.dtype)
         logging.info('Largest inverse_beta is %f',
@@ -713,16 +735,18 @@ class MultiPopVI:
         nat_vd = kernels.fast_vi_delta_grad(
             jnp.asarray(loaded_checkpoint['hyper_delta'], dtype=dtype),
             self.data.log_det, self.data.annotations)
-        vi_mu = np.asarray(loaded_checkpoint['vi_mu'], dtype=dtype)
-        vi_delta = np.asarray(loaded_checkpoint['vi_delta'], dtype=dtype)
-        pad = self._padded_loci - vi_mu.shape[-1]
-        if pad > 0:
-            vi_mu = np.pad(vi_mu, ((0, 0), (0, 0), (0, pad)))
-            # uniform rows keep log(vi_delta) finite; pads are masked out
-            # of every reduction and rewritten by the first update
-            vi_delta = np.concatenate(
-                [vi_delta, np.full((pad, vi_delta.shape[1]),
-                                   1.0 / vi_delta.shape[1], dtype=dtype)])
+        vi_mu_in = np.asarray(loaded_checkpoint['vi_mu'], dtype=dtype)
+        vi_delta_in = np.asarray(loaded_checkpoint['vi_delta'],
+                                 dtype=dtype)
+        K = vi_mu_in.shape[0]
+        ix = self._out_index
+        vi_mu = np.zeros((K, self.num_pops, self._padded_loci),
+                         dtype=dtype)
+        vi_mu[..., ix] = vi_mu_in
+        # uniform pad rows keep log(vi_delta) finite; pads are masked out
+        # of every reduction and rewritten by the first update
+        vi_delta = np.full((self._padded_loci, K), 1.0 / K, dtype=dtype)
+        vi_delta[ix] = vi_delta_in
         return dataclasses.replace(
             st,
             vi_mu=jnp.asarray(vi_mu),
@@ -738,19 +762,19 @@ class MultiPopVI:
 
     def create_dump_dict(self, st=None):
         st = st or self.state
-        n = self._orig_loci
+        ix = self._out_index
         return {
-            'vi_mu': np.asarray(st.vi_mu)[:, :, :n],
-            'vi_delta': np.asarray(st.vi_delta)[:n],
+            'vi_mu': np.asarray(st.vi_mu)[:, :, ix],
+            'vi_delta': np.asarray(st.vi_delta)[ix],
             'hyper_delta': np.asarray(st.hyper_delta),
             'error_scaling': np.asarray(st.error_scaling),
-            'scalings': np.asarray(self.data.scalings)[:, :n],
+            'scalings': np.asarray(self.data.scalings)[:, ix],
         }
 
     def real_posterior_mean(self, st=None):
         st = st or self.state
         return np.asarray(posterior_mean(st.vi_mu, st.vi_delta)
-                          * self.data.scalings)[:, :self._orig_loci]
+                          * self.data.scalings)[:, self._out_index]
 
     def real_posterior_variance(self, st=None):
         st = st or self.state
@@ -758,7 +782,7 @@ class MultiPopVI:
         pmv = posterior_marginal_variance(mean, st.vi_mu, st.vi_delta,
                                           st.sigma)
         return np.asarray(pmv * self.data.scalings ** 2)[:,
-                                                         :self._orig_loci]
+                                                         self._out_index]
 
     def optimize(self, loaded_checkpoint=None):
         """Coordinate ascent until convergence
