@@ -181,6 +181,11 @@ def main(args):
             pickle.dump([cross_pop_covs], ofile)
 
     out_index = None
+    if args.precision == 'f32' and not args.align_layout:
+        # the TPU fast path wants 128-aligned block spans; outputs are
+        # unchanged (inert pads, original variant order restored)
+        logging.info('Enabling --align-layout for the f32 path.')
+        args.align_layout = True
     if args.align_layout:
         from vilma_tpu.parallel import alignment
         n_var = variants.shape[0]
