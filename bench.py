@@ -138,6 +138,7 @@ def accel_main():
     """Accelerator leg, run in a subprocess so a hung remote compile
     cannot take down the whole benchmark."""
     import jax
+    _enable_compile_cache()
     jax.config.update('jax_enable_x64', True)
     accel = [d for d in jax.devices() if d.platform != 'cpu'][0]
     if os.environ.get('BENCH_PALLAS') == '1':
@@ -165,8 +166,20 @@ def _run_accel_subprocess(timeout_s=1500):
     return None
 
 
+def _enable_compile_cache():
+    import jax
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         '.jax_cache')
+    try:
+        jax.config.update('jax_compilation_cache_dir', cache)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
+    except Exception:
+        pass
+
+
 def main():
     import jax
+    _enable_compile_cache()
     jax.config.update('jax_enable_x64', True)
 
     cpu = jax.devices('cpu')[0]
