@@ -293,33 +293,42 @@ def _beta_loop(data, st, conv_tol, line_search_rate):
     bounds. Returns (state, objective delta, final objective, post_mean,
     linked) — the final objective value and matvec intermediates feed the
     hyper-delta update, which would otherwise recompute them
-    (the beta objective == the full ELBO here)."""
+    (the beta objective == the full ELBO here).
+
+    Only the fields the loop actually mutates (vi_mu, vi_delta, L0,
+    num_err) travel in the while carry; everything else (the sigma
+    summaries, hyper_delta, nat_grad_vi_delta — tens of MB at genome
+    scale) is closed over, so XLA never materializes it across loop
+    iterations."""
     obj0, pm0, lk0 = _beta_objective_terms(
         data, st.sigma, st.error_scaling, st.vi_mu, st.vi_delta,
         st.hyper_delta)
 
     def body(carry):
-        st, orig_obj, pm, lk, delta, it, _ = carry
-        L0 = jnp.maximum(1., st.L[0] / 1.25)
-        st = dataclasses.replace(st, L=st.L.at[0].set(L0))
+        vi_mu, vi_delta, L0, num_err, orig_obj, pm, lk, delta, it, _ = carry
+        L0 = jnp.maximum(1., L0 / 1.25)
+        cur = dataclasses.replace(st, vi_mu=vi_mu, vi_delta=vi_delta,
+                                  L=st.L.at[0].set(L0))
         vi_mu, vi_delta, L0, new_obj, pm, lk, err = _update_beta(
-            data, st, orig_obj, pm, lk, line_search_rate)
-        st = dataclasses.replace(
-            st, vi_mu=vi_mu, vi_delta=vi_delta, L=st.L.at[0].set(L0),
-            num_err=st.num_err + err)
+            data, cur, orig_obj, pm, lk, line_search_rate)
         delta = delta + new_obj - orig_obj
         done = jnp.logical_or(
             jnp.abs(new_obj - orig_obj) <= conv_tol,
             jnp.logical_or(L0 == 1., L0 > L_MAX))
-        return st, new_obj, pm, lk, delta, it + 1, done
+        return (vi_mu, vi_delta, L0, num_err + err, new_obj, pm, lk,
+                delta, it + 1, done)
 
     def cond(carry):
-        it, done = carry[5], carry[6]
+        it, done = carry[8], carry[9]
         return jnp.logical_and(it < MAX_NUM_ITERS, jnp.logical_not(done))
 
-    st, obj, pm, lk, delta, _, _ = jax.lax.while_loop(
-        cond, body, (st, obj0, pm0, lk0, jnp.zeros_like(obj0),
-                     jnp.asarray(0), jnp.asarray(False)))
+    (vi_mu, vi_delta, L0, num_err, obj, pm, lk, delta, _, _) = (
+        jax.lax.while_loop(
+            cond, body,
+            (st.vi_mu, st.vi_delta, st.L[0], st.num_err, obj0, pm0, lk0,
+             jnp.zeros_like(obj0), jnp.asarray(0), jnp.asarray(False))))
+    st = dataclasses.replace(st, vi_mu=vi_mu, vi_delta=vi_delta,
+                             L=st.L.at[0].set(L0), num_err=num_err)
     return st, delta, obj, pm, lk
 
 
