@@ -126,7 +126,9 @@ def invert_nat_cat_2D(nat_probs):
     """Stabilized softmax-with-implicit-last-zero, clamped at epsilon
     (numerics.py:179-195). nat_probs: [I, K-1] -> probs [I, K]."""
     eps = epsilon(nat_probs.dtype)
-    max_p = jnp.maximum(jnp.max(nat_probs, axis=1, keepdims=True), 0)
+    # initial=0 matches the reference's max(max(row), 0) and also covers
+    # the degenerate single-component family (K-1 == 0 columns)
+    max_p = jnp.max(nat_probs, axis=1, keepdims=True, initial=0.0)
     expd = jnp.exp(nat_probs - max_p)                      # [I, K-1]
     last = jnp.exp(-max_p)                                 # [I, 1]
     denom = last + jnp.sum(expd, axis=1, keepdims=True)
