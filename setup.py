@@ -15,6 +15,10 @@ setup(
         'pandas>=1.2.1',
         'h5py>=3.6.0',
     ],
+    extras_require={
+        # gradient-/MCMC-based posterior validation tooling
+        'validation': ['optax'],
+    },
     entry_points={
         'console_scripts': ['vilma-tpu=vilma_tpu.frontend:main'],
     },

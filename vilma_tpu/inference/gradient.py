@@ -19,7 +19,6 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from vilma_tpu.inference import engine
 
@@ -53,6 +52,7 @@ def fit_elbo_gradient(data, state, num_steps=500, learning_rate=1e-2):
 
     Returns (final VIState-compatible params tuple, elbo trace).
     """
+    import optax  # optional dependency (extras_require['validation'])
     sigma = state.sigma
     error_scaling = state.error_scaling
     eps = jnp.finfo(state.vi_delta.dtype).tiny

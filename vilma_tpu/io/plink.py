@@ -23,13 +23,17 @@ _LIB_PATH = os.path.join(_CSRC, 'libplinkbed.so')
 
 
 def _load_native():
-    """Load (building if necessary) the native bed decoder."""
+    """Load (building if necessary) the native bed decoder.
+
+    make is always invoked (it is incremental), so edits to
+    csrc/plinkbed.cpp can never silently leave a stale .so in use."""
+    try:
+        subprocess.run(['make', '-C', _CSRC], check=True,
+                       capture_output=True)
+    except Exception:  # no toolchain: reuse an existing build or fall back
+        pass
     if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(['make', '-C', _CSRC], check=True,
-                           capture_output=True)
-        except Exception:  # no toolchain: fall back to numpy
-            return None
+        return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
         lib.plinkbed_decode.argtypes = [
