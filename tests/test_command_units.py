@@ -47,6 +47,22 @@ def test_assign_to_blocks():
     assert total == 2
 
 
+def test_nan_corr_fast_matches_pandas():
+    """The GEMM-based NaN-aware correlation must agree with
+    pandas.DataFrame.corr() (the semantic spec) including under missing
+    data and a constant-over-joint-support column."""
+    rng = np.random.default_rng(7)
+    genos = rng.integers(0, 3, size=(60, 40)).astype(float)
+    miss = rng.random(genos.shape) < 0.15
+    genos[miss] = np.nan
+    expected = np.asarray(__import__('pandas').DataFrame(genos).corr())
+    got = make_ld_schema._nan_corr_fast(genos)
+    both = ~(np.isnan(expected) | np.isnan(got))
+    assert np.allclose(got[both], expected[both], atol=1e-12)
+    # columns with < 2 joint observations are NaN in both
+    assert np.array_equal(np.isnan(got), np.isnan(expected))
+
+
 def test_compute_trace():
     rng = np.random.default_rng(0)
     x1 = rng.random((5, 5))
@@ -83,6 +99,20 @@ def test_sim_components_statistics():
     annotations[10000:, 1] = 1
     weights = np.array([[0.5, 0.3, 0.2], [0.2, 0.3, 0.5]])
     sims = sim.sim_components(annotations, weights)
+    assert sims.shape == (20000, 3)
+    assert np.allclose(sims.sum(axis=1), 1)
+    assert np.all(np.abs(sims[:10000].mean(axis=0) - weights[0]) < 0.025)
+    assert np.all(np.abs(sims[10000:].mean(axis=0) - weights[1]) < 0.025)
+
+
+def test_sim_components_fast_statistics():
+    """--fast-rng path: same marginal distribution as the per-SNP loop."""
+    np.random.seed(0)
+    annotations = np.zeros((20000, 2))
+    annotations[0:10000, 0] = 1
+    annotations[10000:, 1] = 1
+    weights = np.array([[0.5, 0.3, 0.2], [0.2, 0.3, 0.5]])
+    sims = sim.sim_components(annotations, weights, fast=True)
     assert sims.shape == (20000, 3)
     assert np.allclose(sims.sum(axis=1), 1)
     assert np.all(np.abs(sims[:10000].mean(axis=0) - weights[0]) < 0.025)

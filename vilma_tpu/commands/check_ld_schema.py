@@ -1,8 +1,10 @@
 """The `check_ld_schema` command: inspect and analyze LD schemas.
 
-Same options and outputs as the reference (reference
-check_ld_schema.py:10-189): --listvars variant dumps and --trace low-rank
-approximation quality diagnostics (total and per-annotation traces).
+Covers the reference's inspection surface (reference
+check_ld_schema.py:10-189): `--listvars` dumps every variant the schema
+knows about, and `--trace` reports how much of the LD matrix's diagonal a
+low-rank approximation retains (total and, optionally, per annotation) —
+the approximation-quality diagnostic for choosing `--ldthresh`.
 """
 import logging
 
@@ -11,6 +13,8 @@ import pandas as pd
 
 from vilma_tpu.io import load
 from vilma_tpu.ops import blocks
+
+_VAR_COLUMNS = ['ID', 'CHROM', 'BP', 'CM', 'A1', 'A2']
 
 
 def args(super_parser):
@@ -46,55 +50,49 @@ def args(super_parser):
 
 
 def compute_trace(block_ld_mat, one_hot_annotations):
-    """Total and per-annotation traces of the (approximated) LD matrix
-    (reference check_ld_schema.py:72-123)."""
-    ld_diags = np.asarray(blocks.diag(block_ld_mat))
-    total_trace = ld_diags.sum()
-    total_snps = block_ld_mat.shape[0] - len(block_ld_mat.missing)
+    """Trace of the (approximated) LD matrix, total and per annotation.
 
-    trace_summary = pd.DataFrame(
-        {'annotation': ['all_snps'],
-         'trace': [total_trace],
-         'num_snps': [total_snps],
-         'ratio': [total_trace / total_snps]}
-    )
-
+    A perfect-fidelity representation of an LD *correlation* matrix has
+    trace == number of (non-missing) SNPs, so the reported `ratio` column
+    is the fraction of signal the low-rank truncation kept (reference
+    check_ld_schema.py:72-123). Rows: 'all_snps' first, then one
+    'annotation_<j>' row per annotation column when there are several.
+    """
+    one_hot_annotations = np.asarray(one_hot_annotations)
     if not np.all(one_hot_annotations.sum(axis=1) == 1):
         raise ValueError('one_hot_annotations must be one-hot encoded.')
 
-    if one_hot_annotations.shape[1] > 1:
-        not_missing = np.ones(ld_diags.shape[0])
-        not_missing[list(block_ld_mat.missing)] = 0.
-        annotation_snps = not_missing.dot(one_hot_annotations)
-        annotation_trace = ld_diags.dot(one_hot_annotations)
-        annotation_labels = ['annotation_' + str(i) for i in
-                             range(one_hot_annotations.shape[1])]
-        trace_summary = pd.concat(
-            [trace_summary,
-             pd.DataFrame({'annotation': annotation_labels,
-                           'trace': annotation_trace,
-                           'num_snps': annotation_snps,
-                           'ratio': annotation_trace / annotation_snps})],
-            axis=0, ignore_index=True)
-    return trace_summary
+    ld_diags = np.asarray(blocks.diag(block_ld_mat))
+    present = np.ones(ld_diags.shape[0])
+    present[list(block_ld_mat.missing)] = 0.
+
+    labels = ['all_snps']
+    traces = [ld_diags.sum()]
+    counts = [present.sum()]
+    num_annot = one_hot_annotations.shape[1]
+    if num_annot > 1:
+        labels += ['annotation_' + str(j) for j in range(num_annot)]
+        traces += list(ld_diags @ one_hot_annotations)
+        counts += list(present @ one_hot_annotations)
+
+    traces = np.asarray(traces)
+    counts = np.asarray(counts)
+    return pd.DataFrame({'annotation': labels,
+                         'trace': traces,
+                         'num_snps': counts,
+                         'ratio': traces / counts})
 
 
 def combine_vars(ld_schema):
-    """All SNP metadata rows of an LD schema as one DataFrame
+    """Concatenate every .var file of a schema into one variant table
     (reference check_ld_schema.py:126-144)."""
-    all_vars = []
-    for snp_path, _ in load.schema_iterator(ld_schema):
-        all_vars.append(pd.read_csv(snp_path, header=None, sep=r'\s+',
-                                    names=['ID', 'CHROM', 'BP',
-                                           'CM', 'A1', 'A2']))
-    return pd.concat(all_vars, ignore_index=True)
+    frames = (pd.read_csv(var_path, header=None, sep=r'\s+',
+                          names=_VAR_COLUMNS)
+              for var_path, _ in load.schema_iterator(ld_schema))
+    return pd.concat(frames, ignore_index=True)
 
 
-def main(args):
-    # diagnostics are f64 host-side work (matches reference precision)
-    import jax
-    jax.config.update('jax_enable_x64', True)
-    jax.config.update('jax_platforms', 'cpu')
+def _validate(args):
     if args.trace_annotations and not args.trace:
         raise ValueError('If --trace-annotations is provided then '
                          '--trace must also be provided.')
@@ -105,22 +103,32 @@ def main(args):
         raise ValueError('If neither --trace nor --listvars '
                          'are provided, then this command does nothing.')
 
+
+def _run_trace(args, all_vars):
+    logging.info('Computing trace statistics.')
+    variants = (load.load_variant_list(args.trace_extract)
+                if args.trace_extract else all_vars.copy())
+    annotations, denylist = load.load_annotations(args.trace_annotations,
+                                                  variants)
+    ld_mat, _ = load.load_ld_from_schema(
+        args.ld_schema, variants=variants, denylist=denylist,
+        ldthresh=args.trace_ldthresh, mmap=args.mmap)
+    compute_trace(ld_mat, annotations).to_csv(args.trace, sep='\t',
+                                              index=False)
+
+
+def main(args):
+    # schema diagnostics are host-side f64 work (the reference's precision)
+    import jax
+    jax.config.update('jax_enable_x64', True)
+    jax.config.update('jax_platforms', 'cpu')
+    _validate(args)
+
     logging.info('Collecting list of variants in LD Schema.')
     all_vars = combine_vars(args.ld_schema)
-    if args.trace:
-        logging.info('Computing trace statistics.')
-        if args.trace_extract:
-            variants = load.load_variant_list(args.trace_extract)
-        else:
-            variants = all_vars.copy()
-        annotations, denylist = load.load_annotations(
-            args.trace_annotations, variants)
-        ld_mat, missing = load.load_ld_from_schema(
-            args.ld_schema, variants=variants, denylist=denylist,
-            ldthresh=args.trace_ldthresh, mmap=args.mmap)
-        trace_summary = compute_trace(ld_mat, annotations)
-        trace_summary.to_csv(args.trace, sep='\t', index=False)
 
+    if args.trace:
+        _run_trace(args, all_vars)
     if args.listvars:
         logging.info('Saving list of variants')
         all_vars.to_csv(args.listvars, sep='\t', index=False)

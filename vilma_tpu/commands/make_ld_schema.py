@@ -1,14 +1,21 @@
 """The `make_ld_schema` command: build a block LD matrix from genotypes.
 
-Same behavior and on-disk format as the reference
-(reference make_ld_schema.py:13-184): SNPs are read from PLINK files (via
-the native vilma_tpu.io.plink decoder), partitioned into LD blocks from a
-UCSC-style bed file, per-block NaN-aware pairwise correlations are
-computed, optionally eigendecomposition-truncated, and written as
-<root>_{chrom}:{block}.npy + .var + a manifest <root>.schema.
+Produces the reference's on-disk schema format (reference
+make_ld_schema.py:13-184): per block a `<root>_{chrom}:{block}.npy`
+correlation matrix (optionally eigendecomposition-truncated to a stacked
+`[U; s]` array), a `.var` variant-metadata file, and a `<root>.schema`
+manifest listing them.
+
+The computation is restructured around whole-file array operations instead
+of the reference's per-SNP Python loop: genotypes are decoded in bulk by
+the native reader (vilma_tpu.io.plink), block membership is a single
+searchsorted over every variant at once, monomorphic screening is one
+vectorized nanstd, and large blocks use a matmul-based NaN-aware
+correlation (four BLAS GEMMs) instead of pandas' per-pair loop.
 """
 import logging
 import os
+import warnings
 from pathlib import Path
 
 import numpy as np
@@ -16,6 +23,12 @@ import pandas as pd
 
 from vilma_tpu.io import plink
 from vilma_tpu.ops import lowrank
+
+# below this many SNPs a block's correlation goes through pandas (exact
+# byte-parity with the reference on the bundled examples); at or above it
+# the O(n^2 * samples) work runs as GEMMs instead of pandas' cython
+# per-pair loop
+_FAST_CORR_MIN_SNPS = 128
 
 
 def args(super_parser):
@@ -45,99 +58,151 @@ def args(super_parser):
 
 
 def _get_ld_blocks(bedfile_name):
-    """Load LD block boundaries per chromosome, validating non-overlap
-    (reference make_ld_schema.py:43-65)."""
-    ld_table = pd.read_csv(bedfile_name, names=['chrom', 'start', 'end'],
-                           comment='#', sep=r'\s+', header=None,
-                           dtype={'chrom': str, 'start': int, 'end': int})
-    ld_table_dict = {}
-    for chrom in np.unique(ld_table['chrom']):
-        sub_table = ld_table.loc[ld_table['chrom'] == chrom]
-        sub_table = sub_table.sort_values(by='end', ignore_index=True)
-        if not np.all(sub_table.start.to_numpy()[1:]
-                      >= sub_table.end.to_numpy()[:-1]):
+    """Per-chromosome LD block boundary tables from a UCSC-style bed file.
+
+    Returns {chrom: DataFrame[start, end] sorted by end}; overlapping
+    intervals are rejected (reference make_ld_schema.py:59-61 semantics).
+    """
+    table = pd.read_csv(bedfile_name, names=['chrom', 'start', 'end'],
+                        comment='#', sep=r'\s+', header=None,
+                        dtype={'chrom': str, 'start': int, 'end': int})
+    per_chrom = {}
+    for chrom, sub in table.groupby('chrom', sort=False):
+        sub = sub.sort_values(by='end', ignore_index=True)
+        starts = sub.start.to_numpy()
+        ends = sub.end.to_numpy()
+        if np.any(starts[1:] < ends[:-1]):
             raise ValueError('Bedfile contains an overlapping interval')
-        ld_table_dict[chrom] = sub_table
-    return ld_table_dict
+        per_chrom[str(chrom)] = sub
+    return per_chrom
+
+
+def _nan_corr_fast(genos):
+    """NaN-aware pairwise correlation [snps x snps] via four GEMMs.
+
+    genos: [samples, snps] float with NaN for missing. Each pairwise
+    correlation uses exactly the samples observed for both SNPs (the
+    pandas.DataFrame.corr() contract) but the per-pair sums come from
+    matmuls over a validity mask instead of a per-pair scan:
+
+        n    = V.T @ V          joint observation counts
+        Sx   = A.T @ V          per-pair sums of x over joint support
+        Sxx  = (A*A).T @ V      per-pair sums of x^2
+        Sxy  = A.T @ A          per-pair cross sums
+
+    with A = genos zero-filled at NaN and V its validity mask.
+    """
+    valid = ~np.isnan(genos)
+    v = valid.astype(np.float64)
+    a = np.where(valid, genos, 0.0)
+    n = v.T @ v
+    sx = a.T @ v
+    sxx = (a * a).T @ v
+    sxy = a.T @ a
+    with np.errstate(invalid='ignore', divide='ignore'):
+        cov = sxy - sx * sx.T / n
+        var_x = sxx - sx * sx / n
+        denom = np.sqrt(var_x * var_x.T)
+        corr = cov / denom
+    corr[n < 2] = np.nan
+    return corr
 
 
 def _nan_corr(genos):
-    """NaN-aware pairwise correlation matching pandas.DataFrame.corr()
-    (reference make_ld_schema.py:78): each pairwise correlation uses only
-    samples observed for both SNPs."""
+    """Pairwise correlation of a [samples, snps] genotype block.
+
+    pandas.DataFrame.corr() is the semantic spec (reference
+    make_ld_schema.py:78); large blocks use the vectorized GEMM form,
+    which matches it to ~1e-13 (see tests/test_command_units.py).
+    """
+    if genos.shape[1] >= _FAST_CORR_MIN_SNPS:
+        return _nan_corr_fast(genos)
     return pd.DataFrame(genos).corr().to_numpy()
 
 
-def _process_blocks(blocked_data, outfile_name, ldthresh=-1):
-    """Compute per-block correlations and write .npy/.var/manifest
-    (reference make_ld_schema.py:68-93)."""
-    outpath = outfile_name + '_{}:{}'
-    rel_outpath = outpath.split('/')[-1]
-    var_outpath = outfile_name + '_{}:{}.var'
-    rel_var_outpath = var_outpath.split('/')[-1]
-    legend = []
-    for key in blocked_data:
-        logging.info('...computing correlations for block %s', key)
-        corrmat = _nan_corr(blocked_data[key]['SNPs'])
-        if ldthresh >= 0:
-            f = lowrank.factor_block(X=corrmat, t=ldthresh,
-                                     check_symmetric=False)
-            corrmat = np.vstack([f.u, f.s.reshape((1, -1))])
-        np.save(outpath.format(*key.split()), corrmat)
-        with open(var_outpath.format(*key.split()), 'w') as ofh:
-            for var in blocked_data[key]['IDs']:
-                ofh.write('\t'.join(map(str, var)) + '\n')
-        legend.append(rel_var_outpath.format(*key.split())
-                      + '\t'
-                      + (rel_outpath + '.npy').format(*key.split()))
-    with open(outfile_name + '.schema', 'a') as ofh:
-        ofh.write('\n'.join(legend) + '\n')
-
-
 def _assign_to_blocks(blocks, plink_data, variants=None):
-    """Assign SNP genotype rows to LD blocks
-    (reference make_ld_schema.py:96-146): one chromosome per file,
-    monomorphic/all-missing SNPs skipped, genotype 3 -> NaN."""
-    blocked_data = {}
-    blocked_ids = {}
-    chromosome = None
-    for locus, row in zip(plink_data.get_loci(), plink_data):
-        if chromosome is None:
-            chromosome = str(locus.chromosome)
-            if chromosome not in blocks.keys():
-                raise ValueError('Plink File contains a chromosome '
-                                 'that is not in the bedfile.')
-        if str(locus.chromosome) != chromosome:
-            raise ValueError('Each plink file should contain exactly one '
-                             'chromosome.')
-        if variants and locus.name not in variants:
-            continue
-        block_idx = np.searchsorted(blocks[chromosome].start,
-                                    locus.bp_position - 1,
-                                    side='right') - 1
-        if block_idx < 0:
-            continue
-        if locus.bp_position > blocks[chromosome].end[block_idx]:
-            continue
+    """Partition a chromosome's SNPs into LD blocks, vectorized.
 
-        these_genos = np.asarray(row, dtype=float)
-        these_genos[these_genos > 2.1] = np.nan
-        if np.all(np.isnan(these_genos)) or np.nanstd(these_genos) == 0:
-            continue
+    Returns {'<chrom> <block_idx>': {'SNPs': [samples, n_b] float array,
+    'IDs': [[name, chrom, bp, cm, a1, a2], ...]}} with blocks keyed in
+    genome order. Drops SNPs outside every block, not in `variants` (when
+    given), monomorphic, or all-missing; genotype codes > 2.1 (the missing
+    sentinel) become NaN. Exactly one chromosome per plink file, and it
+    must appear in the bed file (reference make_ld_schema.py:96-146
+    semantics).
+    """
+    loci = plink_data.get_loci()
+    if not loci:
+        return {}
+    chroms = np.asarray([str(lo.chromosome) for lo in loci])
+    chromosome = chroms[0]
+    if chromosome not in blocks:
+        raise ValueError('Plink File contains a chromosome '
+                         'that is not in the bedfile.')
+    if np.any(chroms != chromosome):
+        raise ValueError('Each plink file should contain exactly one '
+                         'chromosome.')
 
-        key_str = '{} {}'.format(chromosome, block_idx)
-        if key_str not in blocked_data:
-            blocked_data[key_str] = []
-            blocked_ids[key_str] = []
-        blocked_data[key_str].append(these_genos)
-        blocked_ids[key_str].append(
-            [locus.name, chromosome, locus.bp_position,
-             locus.position, locus.allele1, locus.allele2])
+    bp = np.asarray([lo.bp_position for lo in loci], dtype=np.int64)
+    starts = blocks[chromosome].start.to_numpy()
+    ends = blocks[chromosome].end.to_numpy()
+    block_idx = np.searchsorted(starts, bp - 1, side='right') - 1
+    in_block = block_idx >= 0
+    in_block[in_block] &= bp[in_block] <= ends[block_idx[in_block]]
 
-    for key, value in blocked_data.items():
-        block_gts = np.stack(value, axis=0).T     # samples x snps
-        blocked_data[key] = {'SNPs': block_gts, 'IDs': blocked_ids[key]}
-    return blocked_data
+    keep = in_block
+    if variants:
+        names = np.asarray([lo.name for lo in loci], dtype=object)
+        keep = keep & np.isin(names, list(variants))
+    keep_rows = np.flatnonzero(keep)
+    if keep_rows.size == 0:
+        return {}
+
+    genos = np.asarray(plink_data._genotypes[keep_rows], dtype=float)
+    genos[genos > 2.1] = np.nan
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore', RuntimeWarning)  # all-NaN slices
+        spread = np.nanstd(genos, axis=1)
+    polymorphic = ~np.isnan(spread) & (spread != 0)
+    keep_rows = keep_rows[polymorphic]
+    genos = genos[polymorphic]
+
+    out = {}
+    for b in pd.unique(block_idx[keep_rows]):
+        members = block_idx[keep_rows] == b
+        ids = [[loci[i].name, chromosome, loci[i].bp_position,
+                loci[i].position, loci[i].allele1, loci[i].allele2]
+               for i in keep_rows[members]]
+        out['{} {}'.format(chromosome, b)] = {
+            'SNPs': genos[members].T,        # samples x snps
+            'IDs': ids,
+        }
+    return out
+
+
+def _write_block(out_root, key, payload, ldthresh):
+    """Write one block's .npy + .var; return its manifest line."""
+    chrom, idx = key.split()
+    tag = '{}_{}:{}'.format(out_root, chrom, idx)
+    corrmat = _nan_corr(payload['SNPs'])
+    if ldthresh >= 0:
+        f = lowrank.factor_block(X=corrmat, t=ldthresh,
+                                 check_symmetric=False)
+        corrmat = np.vstack([f.u, f.s.reshape((1, -1))])
+    np.save(tag, corrmat)
+    with open(tag + '.var', 'w') as var_file:
+        var_file.write(''.join('\t'.join(map(str, row)) + '\n'
+                               for row in payload['IDs']))
+    base = os.path.basename(tag)
+    return '{}.var\t{}.npy'.format(base, base)
+
+
+def _load_extract_set(extract_path):
+    frame = pd.read_csv(extract_path, sep=r'\s+', header=0)
+    if 'ID' not in frame.columns:
+        raise ValueError(extract_path + ' must contain '
+                         'a column labeled ID')
+    return set(frame['ID'])
 
 
 def main(args):
@@ -147,24 +212,27 @@ def main(args):
     variants = None
     if args.extract:
         logging.info('Loading Variants from %s', args.extract)
-        variants = pd.read_csv(args.extract, sep=r'\s+', header=0)
-        if 'ID' not in variants.columns:
-            raise ValueError(args.extract + ' must contain '
-                             'a column labeled ID')
-        variants = set(variants['ID'])
+        variants = _load_extract_set(args.extract)
+
     if os.path.exists(args.out_root + '.schema'):
         raise ValueError(args.out_root + '.schema already exists. '
                          'Please delete before running.')
 
-    plink_path = Path(args.plink_file_list)
-    with open(plink_path, 'r') as plink_manifest:
-        for idx, line in enumerate(plink_manifest):
-            logging.info('Working on plink file %d', idx + 1)
-            fname = Path(plink_path.parents[0], line.strip())
-            plink_data = plink.open_plink(str(fname))
-            logging.info('...assigning SNPs to blocks')
-            blocked_data = _assign_to_blocks(ld_blocks, plink_data, variants)
-            logging.info('...processing LD blocks')
-            _process_blocks(blocked_data, args.out_root,
-                            ldthresh=args.ldthresh)
+    list_path = Path(args.plink_file_list)
+    with open(list_path, 'r') as manifest:
+        basenames = [line.strip() for line in manifest if line.strip()]
+    for file_num, basename in enumerate(basenames, start=1):
+        logging.info('Working on plink file %d', file_num)
+        plink_data = plink.open_plink(str(Path(list_path.parents[0],
+                                               basename)))
+        logging.info('...assigning SNPs to blocks')
+        blocked = _assign_to_blocks(ld_blocks, plink_data, variants)
+        logging.info('...processing LD blocks')
+        manifest_lines = []
+        for key, payload in blocked.items():
+            logging.info('...computing correlations for block %s', key)
+            manifest_lines.append(_write_block(args.out_root, key, payload,
+                                               args.ldthresh))
+        with open(args.out_root + '.schema', 'a') as schema_file:
+            schema_file.write('\n'.join(manifest_lines) + '\n')
     logging.info('Done!')

@@ -1,10 +1,19 @@
 """The `sim` command: simulate GWAS summary data from the mixture model.
 
-Same behavior and outputs as the reference (reference sim.py:11-272):
-per-SNP mixture component draws by annotation, correlated true effects via
-Cholesky factors, and GWAS estimates beta_hat = S X (beta/S) + S X^{1/2} eps
-with the LD-correlated noise generated through the packed block
+Same outputs as the reference (reference sim.py:11-272): per-SNP mixture
+component draws by annotation, correlated true effects via Cholesky
+factors, and GWAS estimates beta_hat = S X (beta/S) + S X^{1/2} eps with
+the LD-correlated noise generated through the packed block
 matrix_power(0.5).
+
+RNG-stream constraint: the reference's seeded goldens pin the exact
+*order* of global-numpy-RNG draws — one categorical draw per SNP
+(sim_components), then the latent normals, per-cohort noise in cohort
+order, and two random-dataset-name draws per LD block (its mmap mode) —
+so the default path reproduces that order draw-for-draw, including the
+per-SNP Python loop. `--fast-rng` opts out of parity and replaces the
+per-SNP loop with one vectorized inverse-CDF draw (minutes -> ms at 1M
+SNPs); results are statistically identical but differ per seed.
 """
 import logging
 import pickle
@@ -47,25 +56,44 @@ def args(super_parser):
                         help='Comma-separated paths to LD panel schemas.')
     parser.add_argument('--seed', type=int, default=42,
                         help='Seed for random number generation.')
+    parser.add_argument('--fast-rng', dest='fast_rng', action='store_true',
+                        help='Vectorize the per-SNP component draws. '
+                             'Statistically identical but NOT draw-for-'
+                             'draw compatible with the reference RNG '
+                             'stream (seeded outputs differ).')
     return parser
 
 
-def sim_components(annotations, weights):
-    """One-hot component draws, row i ~ weights[annotation[i]]
-    (reference sim.py:71-94). Host numpy RNG for seeded parity."""
-    to_return = np.zeros((annotations.shape[0], weights.shape[1]))
-    for i in range(annotations.shape[0]):
+def sim_components(annotations, weights, fast=False):
+    """One-hot component draws, row i ~ Categorical(weights[annotation[i]]).
+
+    Default: per-SNP np.random.choice in SNP order, matching the
+    reference's draw sequence exactly (reference sim.py:71-94). fast=True:
+    one uniform per SNP inverted through the per-annotation CDF — same
+    distribution, different stream (see module docstring).
+    """
+    num_snps, num_components = annotations.shape[0], weights.shape[1]
+    one_hot = np.zeros((num_snps, num_components))
+    if fast:
+        annot_idx = np.argmax(annotations, axis=1)
+        cdf = np.cumsum(weights, axis=1)
+        u = np.random.random(num_snps)
+        comp_idx = np.minimum((u[:, None] > cdf[annot_idx]).sum(axis=1),
+                              num_components - 1)
+        one_hot[np.arange(num_snps), comp_idx] = 1
+        return one_hot
+    for i in range(num_snps):
         this_annotation = np.where(annotations[i] == 1)[0][0]
-        comp_idx = np.random.choice(weights.shape[1],
+        comp_idx = np.random.choice(num_components,
                                     p=weights[this_annotation])
-        to_return[i, comp_idx] = 1
-    return to_return
+        one_hot[i, comp_idx] = 1
+    return one_hot
 
 
-def sim_true_effects(annotations, weights, cov_mats):
+def sim_true_effects(annotations, weights, cov_mats, fast=False):
     """Draw true effects from the mixture model (reference sim.py:97-133)."""
     num_pops = cov_mats.shape[-1]
-    one_hot_components = sim_components(annotations, weights)
+    one_hot_components = sim_components(annotations, weights, fast=fast)
     latent_effects = np.random.normal(
         loc=0, scale=1, size=(annotations.shape[0], num_pops))
     sqrt_covs = np.array([np.linalg.cholesky(mat) for mat in cov_mats])
@@ -83,6 +111,46 @@ def sim_gwas(true_beta, std_errs, ld_mat):
     return mean + true_noise
 
 
+def _combined_variants(sumstats_paths):
+    """Union of the variant lists across all sumstats files."""
+    frames = [load.load_variant_list(path) for path in sumstats_paths]
+    return pd.concat(frames, ignore_index=True).drop_duplicates(
+        subset='ID', ignore_index=True)
+
+
+def _fill_missing_annotations(annotations, denylist):
+    """Unannotated variants draw a random annotation proportional to the
+    observed annotation frequencies (reference sim.py:187-200). Consumes
+    one np.random.choice draw — stream-order matters."""
+    proportions = annotations.sum(axis=0).astype(np.float64)
+    proportions /= proportions.sum()
+    random_annots = np.random.choice(annotations.shape[1],
+                                     size=len(denylist),
+                                     p=proportions, replace=True)
+    annotations[denylist, :] = 0
+    annotations[denylist, random_annots] = 1
+    assert np.all(annotations.sum(axis=1) == 1)
+    return annotations
+
+
+def _load_weights(weights_path, num_annotations, num_components):
+    """Mixture weights from a raw .npy matrix or a fitted .npz model."""
+    loaded = np.load(weights_path)
+    if isinstance(loaded, np.lib.npyio.NpzFile):
+        weights = np.asarray(loaded['hyper_delta'])
+    else:
+        weights = np.asarray(loaded)
+    if weights.shape[0] != num_annotations:
+        raise ValueError('The shape of the weights does not match the '
+                         'number of annotations.')
+    if weights.shape[1] != num_components:
+        raise ValueError('The shape of the weights does not match the '
+                         'number of covariance matrices.')
+    if not np.allclose(weights.sum(axis=1), 1.):
+        raise ValueError('weights do not sum to 1 within each annotation.')
+    return weights
+
+
 def main(args):
     np.random.seed(args.seed)
     # simulation is f64 host-side work (matches reference precision)
@@ -90,7 +158,8 @@ def main(args):
     jax.config.update('jax_enable_x64', True)
     jax.config.update('jax_platforms', 'cpu')
 
-    num_pops = len(args.sumstats.split(','))
+    sumstats_paths = args.sumstats.split(',')
+    num_pops = len(sumstats_paths)
     names = list(map(str, range(num_pops)))
     if args.names is not None:
         if args.names.count(',') != args.sumstats.count(','):
@@ -103,28 +172,15 @@ def main(args):
     if not np.all(n_scales > 0):
         raise ValueError('--gwas-n-scaling must be all positive.')
 
-    all_vars = []
-    for sstats_file in args.sumstats.split(','):
-        all_vars.append(load.load_variant_list(sstats_file))
-    all_vars = pd.concat(all_vars, ignore_index=True).drop_duplicates(
-        subset='ID', ignore_index=True)
-
+    all_vars = _combined_variants(sumstats_paths)
     annotations, denylist = load.load_annotations(args.annotations, all_vars)
-    num_annotations = annotations.shape[1]
-    annotation_proportions = annotations.sum(axis=0).astype(np.float64)
-    annotation_proportions /= annotation_proportions.sum()
-    random_annots = np.random.choice(num_annotations, size=len(denylist),
-                                     p=annotation_proportions, replace=True)
-    annotations[denylist, :] = 0
-    annotations[denylist, random_annots] = 1
-    assert np.all(annotations.sum(axis=1) == 1)
+    annotations = _fill_missing_annotations(annotations, denylist)
 
     # missing data gets SE 1e-100, dropped at output (reference sim.py:205)
-    std_errs = np.ones((num_pops, all_vars.shape[0])) * 1e-100
+    std_errs = np.full((num_pops, all_vars.shape[0]), 1e-100)
     ld_mats = []
     for idx, (sstats_file, n_scale, ld_schema_path) in enumerate(
-            zip(args.sumstats.split(','), n_scales,
-                args.ld_schema.split(','))):
+            zip(sumstats_paths, n_scales, args.ld_schema.split(','))):
         logging.info('Loading sumstats for population %s...', names[idx])
         these_sstats, missing = load.load_sumstats(sstats_file, all_vars)
         logging.info('Loading LD for population %s...', names[idx])
@@ -140,36 +196,22 @@ def main(args):
 
     with open(args.covariance, 'rb') as pickle_file:
         cov_mats = np.array(pickle.load(pickle_file)[0])
+    weights = _load_weights(args.weights, annotations.shape[1],
+                            len(cov_mats))
 
-    weights = np.load(args.weights)
-    try:
-        weights.files
-        weights = weights['hyper_delta']
-    except AttributeError:
-        weights = np.array(weights)
+    true_effects = sim_true_effects(annotations, weights, cov_mats,
+                                    fast=getattr(args, 'fast_rng', False))
+    sim_beta_hat = np.stack(
+        [sim_gwas(beta, std_vec, ld_mat)
+         for ld_mat, beta, std_vec in zip(ld_mats, true_effects, std_errs)])
 
-    if weights.shape[0] != num_annotations:
-        raise ValueError('The shape of the weights does not match the '
-                         'number of annotations.')
-    if weights.shape[1] != len(cov_mats):
-        raise ValueError('The shape of the weights does not match the '
-                         'number of covariance matrices.')
-    if not np.allclose(weights.sum(axis=1), 1.):
-        raise ValueError('weights do not sum to 1 within each annotation.')
-
-    true_effects = sim_true_effects(annotations, weights, cov_mats)
-    sim_beta_hat = np.zeros((num_pops, all_vars.shape[0]))
-    for p, (ld_mat, beta, std_vec) in enumerate(zip(ld_mats, true_effects,
-                                                    std_errs)):
-        sim_beta_hat[p] = sim_gwas(beta, std_vec, ld_mat)
-
-    for p in range(num_pops):
-        logging.info('Saving results for cohort %s', names[p])
+    for p, name in enumerate(names):
+        logging.info('Saving results for cohort %s', name)
         to_save = all_vars.copy()
         to_save['SE'] = std_errs[p]
         to_save['BETA'] = sim_beta_hat[p]
         to_save['true_beta'] = true_effects[p]
         to_save.loc[to_save.SE < 1e-99, 'SE'] = np.nan
         to_save = to_save.dropna()
-        to_save.to_csv(args.output + '.' + names[p] + '.simgwas.tsv',
+        to_save.to_csv(args.output + '.' + name + '.simgwas.tsv',
                        sep='\t', index=False)

@@ -1,62 +1,74 @@
-"""Command line interface for vilma_tpu.
+"""Command-line entry point for vilma-tpu.
 
-Same subcommand registry, --logfile/--verbose handling, and dispatch
-behavior as the reference CLI (reference frontend.py:14-74).
+Exposes the same four subcommands as the reference CLI (reference
+frontend.py:14-20) with the shared --logfile/--verbose flags every
+subcommand accepts (reference frontend.py:49-62). Subcommand modules are
+registered by name and imported lazily so `vilma-tpu <cmd> --help` never
+pays for the other commands' imports.
 """
 import logging
+import sys
 from argparse import ArgumentParser
+from importlib import import_module
 
 from vilma_tpu import VERSION
-from vilma_tpu.commands.make_ld_schema import main as make_ld_schema
-from vilma_tpu.commands.make_ld_schema import args as make_ld_schema_args
-from vilma_tpu.commands.check_ld_schema import main as check_ld_schema
-from vilma_tpu.commands.check_ld_schema import args as check_ld_schema_args
-from vilma_tpu.commands.sim import main as sim
-from vilma_tpu.commands.sim import args as sim_args
-from vilma_tpu.commands.fit import main as fit
-from vilma_tpu.commands.fit import args as fit_args
 
-COMMANDS = {
-    'make_ld_schema': {'cmd': make_ld_schema, 'parser': make_ld_schema_args},
-    'check_ld_schema': {'cmd': check_ld_schema,
-                        'parser': check_ld_schema_args},
-    'sim': {'cmd': sim, 'parser': sim_args},
-    'fit': {'cmd': fit, 'parser': fit_args},
-}
+# name -> module under vilma_tpu.commands; each module exposes
+# args(subparsers) -> parser and main(namespace)
+SUBCOMMANDS = ('make_ld_schema', 'check_ld_schema', 'sim', 'fit')
 
 
-def main():
+def _command_module(name):
+    return import_module('vilma_tpu.commands.' + name)
+
+
+def _attach_shared_flags(parser):
+    parser.add_argument(
+        '--logfile', required=False, type=str, default='',
+        help='File to store information about the run. To print to '
+             'stdout use "-". Defaults to no logging.')
+    parser.add_argument(
+        '--verbose', dest='verbose', action='store_true',
+        help='Log all information (as opposed to just warnings)')
+
+
+def build_parser():
+    """The full CLI parser plus a name -> main-function dispatch map."""
     parser = ArgumentParser(
-        description="""
-                    vilma-tpu v%s uses variational inference to estimate
-                    variant effect sizes from GWAS summary data while
-                    simultaneously learning the overall distribution of
-                    effects, accelerated on TPUs via JAX/XLA.
-                    """ % VERSION,
-        usage='vilma-tpu <command> <options>'
-    )
+        description='vilma-tpu v%s uses variational inference to estimate '
+                    'variant effect sizes from GWAS summary data while '
+                    'simultaneously learning the overall distribution of '
+                    'effects, accelerated on TPUs via JAX/XLA.' % VERSION,
+        usage='vilma-tpu <command> <options>')
     subparsers = parser.add_subparsers(title='Commands', dest='command')
-    for cmd in COMMANDS:
-        cmd_parser = COMMANDS[cmd]['parser'](subparsers)
-        cmd_parser.add_argument(
-            '--logfile', required=False, type=str, default='',
-            help='File to store information about the run. To print to '
-                 'stdout use "-". Defaults to no logging.')
-        cmd_parser.add_argument(
-            '--verbose', dest='verbose', action='store_true',
-            help='Log all information (as opposed to just warnings)')
-    args = parser.parse_args()
-    try:
-        func = COMMANDS[args.command]['cmd']
-    except KeyError:
-        parser.print_help()
-        exit()
-    level = 10 if args.verbose else 30
-    if args.logfile == '-':
+    dispatch = {}
+    for name in SUBCOMMANDS:
+        module = _command_module(name)
+        _attach_shared_flags(module.args(subparsers))
+        dispatch[name] = module.main
+    return parser, dispatch
+
+
+def _start_logging(logfile, verbose):
+    """Reference logging contract: --verbose selects DEBUG over WARNING;
+    --logfile '-' is stdout-ish basicConfig, a path logs to that file, and
+    empty disables logging entirely (reference frontend.py:64-73)."""
+    level = logging.DEBUG if verbose else logging.WARNING
+    if logfile == '-':
         logging.basicConfig(level=level)
-    elif args.logfile:
-        logging.basicConfig(filename=args.logfile, level=level)
-    func(args)
+    elif logfile:
+        logging.basicConfig(filename=logfile, level=level)
+
+
+def main(argv=None):
+    parser, dispatch = build_parser()
+    args = parser.parse_args(argv)
+    run = dispatch.get(args.command)
+    if run is None:
+        parser.print_help()
+        sys.exit(0)
+    _start_logging(args.logfile, args.verbose)
+    run(args)
 
 
 if __name__ == '__main__':
