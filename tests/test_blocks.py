@@ -271,3 +271,91 @@ def test_packed_is_jittable():
         return blocks.dot(ld, v)
 
     assert np.allclose(np.asarray(f(ld, v)), dense @ v)
+
+
+def test_inverse_dot_invertible_diag():
+    """Woodbury branch for blocks with an invertible diagonal component
+    (reference matrix_structures.py:187-196, tests/test.py:138-143)."""
+    rng = np.random.default_rng(21)
+    x = random_symmetric(5, rng)
+    f = lowrank.factor_block(X=x, t=1.0)
+    d = rng.random(5) + 0.5
+    f = lowrank.LowRankFactor(u=f.u, s=f.s, d=d, rank=5)
+    ld = blocks.pack([f], [np.arange(5)], 5)
+    v = rng.standard_normal(5)
+    expect = np.linalg.inv(x + np.diag(d)) @ v
+    assert np.allclose(np.asarray(ld.inverse.dot(v)), expect, atol=1e-10)
+
+
+def test_inverse_dot_invertible_diag_rank0_sentinel():
+    """Woodbury with the rank-0 sentinel block (s == 0): the matrix is
+    just diag(d)."""
+    rng = np.random.default_rng(22)
+    f = lowrank.factor_block(X=np.zeros((4, 4)), t=0.5,
+                             check_symmetric=False)
+    d = rng.random(4) + 0.5
+    f = lowrank.LowRankFactor(u=f.u, s=f.s, d=d, rank=4)
+    ld = blocks.pack([f], [np.arange(4)], 4)
+    v = rng.standard_normal(4)
+    assert np.allclose(np.asarray(ld.inverse.dot(v)), v / d, atol=1e-12)
+
+
+def test_inverse_dot_mixed_diag():
+    """Mixed zero/nonzero diagonal: dense reconstruction + pinv
+    (reference matrix_structures.py:169-185, tests/test.py:145-152)."""
+    rng = np.random.default_rng(23)
+    x = random_symmetric(4, rng, rank=2)
+    f = lowrank.factor_block(X=x, t=1.0)
+    d = np.array([0., 0., 2., 3.])
+    f = lowrank.LowRankFactor(u=f.u, s=f.s, d=d, rank=4)
+    ld = blocks.pack([f], [np.arange(4)], 4)
+    v = rng.standard_normal(4)
+    reconst = x + np.diag(d)
+    expect = np.linalg.pinv(reconst, hermitian=True) @ v
+    assert np.allclose(np.asarray(ld.inverse.dot(v)), expect, atol=1e-8)
+
+
+def test_inverse_dot_mixed_blocks_per_matrix():
+    """One matrix mixing all three per-block inverse_dot branches."""
+    rng = np.random.default_rng(24)
+    x1 = random_symmetric(5, rng)
+    f1 = lowrank.factor_block(X=x1, t=1.0)               # d == 0
+    x2 = random_symmetric(3, rng)
+    f2 = lowrank.factor_block(X=x2, t=1.0)
+    d2 = rng.random(3) + 0.5
+    f2 = lowrank.LowRankFactor(u=f2.u, s=f2.s, d=d2, rank=3)  # Woodbury
+    ld = blocks.pack([f1, f2], [np.arange(5), np.arange(5, 8)], 9)
+    v = rng.standard_normal(9)
+    dense = np.zeros((9, 9))
+    dense[:5, :5] = x1
+    dense[5:8, 5:8] = x2 + np.diag(d2)
+    expect = np.linalg.pinv(dense, hermitian=True) @ v
+    got = np.asarray(ld.inverse.dot(v))
+    assert np.allclose(got, expect, atol=1e-8)
+    assert got[8] == 0.0                                # missing index
+
+
+def test_dot_i_with_diag_missing_and_mixed_buckets():
+    """O(block) dot_i: nonzero diagonals, missing indices, permutation,
+    and blocks spread over multiple bucket tiers
+    (reference matrix_structures.py:154-157,333-347,
+    tests/test.py:112-126,257-277)."""
+    rng = np.random.default_rng(25)
+    n = 5 + 33 + 2               # two tiers + 2 missing slots
+    order = rng.permutation(n)
+    x1 = random_symmetric(5, rng)
+    f1 = lowrank.factor_block(X=x1, t=1.0)
+    d1 = rng.random(5)
+    f1 = lowrank.LowRankFactor(u=f1.u, s=f1.s, d=d1, rank=5)
+    x2 = random_symmetric(33, rng)
+    f2 = lowrank.factor_block(X=x2, t=1.0)
+    ix1, ix2 = order[:5], order[5:38]
+    ld = blocks.pack([f1, f2], [ix1, ix2], n)
+    assert len(ld.buckets) == 2
+    dense = np.zeros((n, n))
+    dense[np.ix_(ix1, ix1)] = x1 + np.diag(d1)
+    dense[np.ix_(ix2, ix2)] = x2
+    v = rng.standard_normal(n)
+    expect = dense @ v
+    for i in range(n):
+        assert np.isclose(ld.dot_i(v, i), expect[i])

@@ -1,0 +1,143 @@
+"""Multi-host input pipeline tests.
+
+The reference has no distributed anything (SURVEY.md section 2.4); these
+pin the TPU-native multi-host design (SURVEY.md section 7.3 item 6):
+
+ * sharded-assembly equivalence in-process: load_ld_sharded with a mesh
+   (single process, 8 simulated devices) must produce the same operator
+   as the ordinary loader;
+ * true multi-process equivalence: a 2-process jax.distributed CPU
+   cluster, each process eigendecomposing only its own blocks, running a
+   full MultiPopVI fit under the global mesh — posterior means must match
+   the single-process fit on the same inputs.
+"""
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+import jax
+
+from vilma_tpu.io import load
+from vilma_tpu.ops import blocks
+from vilma_tpu.parallel import distributed, mesh as mesh_mod
+
+
+def _build_schema(tmp_path, sizes, seed=0):
+    """Synthetic dense-block schema; returns its manifest path."""
+    rng = np.random.default_rng(seed)
+    root = str(tmp_path / 'dist_schema')
+    rows, ids = [], []
+    start = 0
+    for b, size in enumerate(sizes):
+        idx = np.abs(np.subtract.outer(np.arange(size), np.arange(size)))
+        rho = rng.uniform(0.3, 0.9)
+        np.save(f'{root}_{b}.npy', rho ** idx)
+        with open(f'{root}_{b}.var', 'w') as fh:
+            for i in range(size):
+                name = f'snp{b}_{i}'
+                ids.append(name)
+                fh.write(f'{name}\t1\t{start + i + 1}\t0\tA\tT\n')
+        rows.append(f'{root}_{b}.var\t{root}_{b}.npy')
+        start += size
+    with open(root + '.schema', 'w') as fh:
+        fh.write('\n'.join(rows) + '\n')
+    with open(root + '.schema.extract', 'w') as fh:
+        fh.write('ID\tA1\tA2\n')
+        fh.write(''.join(f'{name}\tA\tT\n' for name in ids))
+    return root + '.schema'
+
+
+def test_sharded_assembly_matches_plain_loader(tmp_path):
+    """Single process, 8 simulated devices: the sharded-assembly path
+    (size-tier buckets, make_array_from_process_local_data) must define
+    the same linear operator as the ordinary loader."""
+    schema = _build_schema(tmp_path, sizes=[16, 48, 16, 48, 16, 42])
+    variants = pd.read_csv(schema + '.extract', sep='\t')
+    plain, miss1 = load.load_ld_from_schema(schema, variants, denylist=[],
+                                            ldthresh=1.0)
+    mesh = mesh_mod.make_mesh(n_snp=8, n_comp=1)
+    sharded, miss2 = distributed.load_ld_sharded(
+        schema, variants, denylist=[], ldthresh=1.0, mesh=mesh)
+    assert miss1 == miss2
+    assert plain.rank == sharded.rank
+    assert plain.missing == sharded.missing
+
+    x = np.random.default_rng(1).standard_normal(plain.n)
+    y_plain = np.asarray(blocks.dot(plain, x))
+    with jax.set_mesh(mesh):
+        y_sharded = np.asarray(jax.jit(blocks.dot)(sharded,
+                                                   jax.numpy.asarray(x)))
+    assert np.allclose(y_plain, y_sharded, rtol=1e-12, atol=1e-12)
+
+    # the engine's other block ops run through the sharded form too
+    with jax.set_mesh(mesh):
+        inv_plain = np.asarray(blocks.inverse_dot(plain, x))
+        inv_sharded = np.asarray(jax.jit(blocks.inverse_dot)(
+            sharded, jax.numpy.asarray(x)))
+        diag_plain = np.asarray(blocks.diag(plain))
+        diag_sharded = np.asarray(jax.jit(blocks.diag)(sharded))
+    assert np.allclose(inv_plain, inv_sharded, rtol=1e-10, atol=1e-10)
+    assert np.allclose(diag_plain, diag_sharded, rtol=1e-12, atol=1e-12)
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(('localhost', 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_fit_matches_single_process(tmp_path):
+    """2-process jax.distributed CPU cluster == single-process fit."""
+    # 8 blocks, 512 SNPs: divisible by the 8-device global mesh
+    schema = _build_schema(tmp_path, sizes=[64] * 8)
+    variants = pd.read_csv(schema + '.extract', sep='\t')
+
+    # single-process golden (this pytest process: 8 simulated devices,
+    # but run unmeshed on one device)
+    from vilma_tpu.inference import MultiPopVI
+    n = variants.shape[0]
+    rng = np.random.default_rng(1)
+    std_errs = rng.uniform(0.01, 0.05, (2, n))
+    betas = rng.standard_normal((2, n)) * std_errs * 2
+    covs = [np.eye(2) * s for s in (1e-6, 1e-4, 1e-2)]
+    annotations = np.ones((n, 1))
+    np.random.seed(0)
+    ld, _ = load.load_ld_from_schema(schema, variants, denylist=[],
+                                     ldthresh=1.0)
+    vi = MultiPopVI(marginal_effects=betas, std_errs=std_errs,
+                    ld_mats=[ld, ld], annotations=annotations,
+                    mixture_covs=covs, checkpoint=False,
+                    gwas_N=np.full(2, 1e5), init_hg=np.full(2, 0.3),
+                    num_its=5)
+    vi.optimize()
+    expected_path = str(tmp_path / 'expected.npy')
+    np.save(expected_path, vi.real_posterior_mean())
+
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          'distributed_worker.py')
+    env = dict(os.environ)
+    env['PYTHONPATH'] = (os.path.dirname(os.path.dirname(
+        os.path.abspath(worker))) + os.pathsep + env.get('PYTHONPATH', ''))
+    # workers configure their own XLA_FLAGS/JAX_PLATFORMS
+    env.pop('XLA_FLAGS', None)
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), '2', str(port), schema,
+         expected_path],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for pid in range(2)]
+    outs = []
+    for proc in procs:
+        try:
+            out, err = proc.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            out, err = proc.communicate()
+        outs.append((proc.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0 and 'OK' in out, (rc, out, err[-3000:])

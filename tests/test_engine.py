@@ -189,7 +189,9 @@ def test_l_cap_keeps_old_params():
     np.random.seed(42)
     scheme = make_scheme(unlinked=True)
     st = scheme._initialize()
-    stL = dataclasses.replace(st, L=st.L.at[0].set(engine.L_MAX - 1))
+    import jax.numpy as jnp
+    stL = dataclasses.replace(
+        st, L=jnp.asarray(st.L).at[0].set(engine.L_MAX - 1))
     st2, _ = engine.outer_step(scheme.data, stL, line_search_rate=2.0)
     assert float(st2.L[0]) < engine.L_MAX - 1
     assert np.allclose(np.asarray(st2.vi_mu), np.asarray(st.vi_mu),

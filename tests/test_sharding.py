@@ -6,16 +6,22 @@ runs under block/SNP sharding (+ component sharding) and produces the same
 numbers as the single-device run.
 """
 import numpy as np
-import pytest
 import jax
 
 from vilma_tpu.inference import engine
+from vilma_tpu.ops import blocks, lowrank
 from vilma_tpu.parallel import mesh as mesh_mod
+from vilma_tpu.parallel import padding
 from vilma_tpu.utils import synthetic
 
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
-                                reason='needs 8 simulated devices')
+def test_simulated_mesh_active():
+    """conftest.py must deliver 8 simulated CPU devices; if the
+    environment ever pre-pins another platform, FAIL (not skip) so the
+    multi-device coverage cannot silently vanish."""
+    assert len(jax.devices()) >= 8, (
+        'the 8-device CPU simulation from tests/conftest.py is not '
+        'active — sharding coverage would be lost')
 
 
 def _problem():
@@ -55,6 +61,59 @@ def test_comp_sharded_mesh():
         st2, pm2 = engine.outer_step(sdata, sstate, line_search_rate=2.0)
     assert np.allclose(np.asarray(pm1), np.asarray(pm2), rtol=1e-10,
                        atol=1e-12)
+
+
+def test_sharded_step_uneven_shapes():
+    """Pin the padded-shard path: I not divisible by the mesh, and LD
+    blocks of mixed sizes so the pack produces multiple bucket tiers
+    (each with a block count that does not divide the mesh either)."""
+    num_loci = 250                       # not divisible by 8
+    rng = np.random.default_rng(3)
+    factors, indices = [], []
+    start = 0
+    sizes = [16, 48, 16, 48, 16, 48, 16, 42]   # two tiers (16 and 64)
+    for n in sizes:
+        idx = np.abs(np.subtract.outer(np.arange(n), np.arange(n)))
+        rho = rng.uniform(0.3, 0.9)
+        factors.append(lowrank.factor_block(X=rho ** idx, t=1.0,
+                                            check_symmetric=False))
+        indices.append(np.arange(start, start + n))
+        start += n
+    assert start == num_loci
+    ld = blocks.pack(factors, indices, num_loci)
+    assert len(ld.buckets) == 2
+
+    std_errs = rng.uniform(0.01, 0.05, (2, num_loci))
+    betas = rng.standard_normal((2, num_loci)) * std_errs * 2
+    covs = [np.eye(2) * s for s in (1e-6, 1e-4, 1e-2)]
+    annotations = np.zeros((num_loci, 2))
+    annotations[np.arange(num_loci), rng.integers(0, 2, num_loci)] = 1
+    data = engine.build_model_data(
+        betas, std_errs, [ld, ld], annotations, covs, scaled=False,
+        scale_se=False, gwas_N=np.full(2, 1e5), init_hg=np.full(2, 0.3))
+
+    # the production path (MultiPopVI with mesh=) pads to the mesh size
+    pdata, orig_i = padding.pad_model_data(data, 8)
+    assert orig_i == num_loci
+    assert pdata.marginal_effects.shape[1] == 256
+    state = synthetic.synthetic_state(pdata)
+    # pad slots start (and must stay) at vi_mu == 0, as in production
+    # (MultiPopVI._initialize writes fake_mu only at real slots)
+    import dataclasses
+    state = dataclasses.replace(
+        state, vi_mu=state.vi_mu.at[:, :, num_loci:].set(0.0))
+
+    st1, pm1 = engine.outer_step(pdata, state, line_search_rate=2.0)
+    mesh = mesh_mod.make_mesh(n_snp=8, n_comp=1)
+    sdata = mesh_mod.shard_data(pdata, mesh)
+    sstate = mesh_mod.shard_state(state, mesh)
+    with jax.set_mesh(mesh):
+        st2, pm2 = engine.outer_step(sdata, sstate, line_search_rate=2.0)
+    assert np.allclose(np.asarray(pm1), np.asarray(pm2), rtol=1e-10,
+                       atol=1e-12)
+    assert np.allclose(float(st1.elbo), float(st2.elbo), rtol=1e-8)
+    # pad slots must stay exactly inert through the step
+    assert np.all(np.asarray(pm2)[:, num_loci:] == 0)
 
 
 def test_dryrun_multichip():

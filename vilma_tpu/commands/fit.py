@@ -54,9 +54,11 @@ def args(super_parser):
     parser.add_argument('--seed', type=int, default=42,
                         help='Seed for random number generation.')
     parser.add_argument('--mmap', dest='mmap', action='store_true',
-                        help='Accepted for compatibility; LD blocks are '
-                             'staged through host RAM and stored packed in '
-                             'device memory.')
+                        help='Stage LD factor payloads through disk-backed '
+                             'memmaps while loading, bounding peak host '
+                             'RAM at whole-genome schema scale; packed '
+                             'blocks are then streamed to device memory '
+                             'for compute.')
     parser.add_argument('--learn-scaling', dest='scale_se',
                         action='store_true',
                         help='Learn a scaling factor for the standard '
@@ -115,7 +117,7 @@ def main(args):
     if (not args.trait
             and args.ld_schema.count(',') != 1
             and args.ld_schema.count(',') != args.sumstats.count(',')):
-        raise ValueError('Either need to imput one ld_schema or provide a '
+        raise ValueError('Either need to input one ld_schema or provide a '
                          'sumstats file for each ld_schema.')
     if args.trait:
         raise NotImplementedError('--trait has not been implemented yet.')
@@ -145,6 +147,22 @@ def main(args):
     init_hg = np.array(list(map(float, args.init_hg.split(','))))
 
     dtype = np.float64 if args.precision == 'f64' else np.float32
+
+    # multi-host runs initialize the cluster and build the global mesh
+    # BEFORE loading, so each process loads/eigendecomposes only its own
+    # LD blocks (parallel.distributed.load_ld_sharded)
+    import jax
+    if args.distributed:
+        from vilma_tpu.parallel import distributed
+        distributed.initialize()
+    mesh = None
+    if args.mesh:
+        from vilma_tpu.parallel import mesh as mesh_mod
+        axes = dict(kv.split('=') for kv in args.mesh.split(','))
+        mesh = mesh_mod.make_mesh(n_snp=int(axes.get('snp', 1)),
+                                  n_comp=int(axes.get('comp', 1)))
+    multiproc = jax.process_count() > 1
+
     for idx, (ld_schema_path, sumstats_path) in enumerate(
             zip(args.ld_schema.split(','), args.sumstats.split(','))):
         logging.info('Loading sumstats for population %d...', idx + 1)
@@ -158,9 +176,16 @@ def main(args):
         combined_errors.append(np.array(sumstats.SE).reshape((1, -1))
                                * stderr_mult[idx])
         logging.info('Loading LD for population %d...', idx + 1)
-        ld_mat, this_missing_ld = load.load_ld_from_schema(
-            ld_schema_path, variants=variants, denylist=missing,
-            ldthresh=args.ldthresh, mmap=args.mmap, dtype=dtype)
+        if multiproc:
+            from vilma_tpu.parallel import distributed
+            ld_mat, this_missing_ld = distributed.load_ld_sharded(
+                ld_schema_path, variants=variants, denylist=missing,
+                ldthresh=args.ldthresh, mmap=args.mmap, dtype=dtype,
+                mesh=mesh)
+        else:
+            ld_mat, this_missing_ld = load.load_ld_from_schema(
+                ld_schema_path, variants=variants, denylist=missing,
+                ldthresh=args.ldthresh, mmap=args.mmap, dtype=dtype)
         combined_ld.append(ld_mat)
         missing_ld_info[this_missing_ld, idx] = True
 
@@ -207,15 +232,6 @@ def main(args):
                             'skipping --align-layout.')
 
     logging.info('Fitting...')
-    import jax
-    if args.distributed:
-        jax.distributed.initialize()
-    mesh = None
-    if args.mesh:
-        from vilma_tpu.parallel import mesh as mesh_mod
-        axes = dict(kv.split('=') for kv in args.mesh.split(','))
-        mesh = mesh_mod.make_mesh(n_snp=int(axes.get('snp', 1)),
-                                  n_comp=int(axes.get('comp', 1)))
     from vilma_tpu.inference import MultiPopVI
     elbo = MultiPopVI(
         marginal_effects=betas.astype(dtype),
@@ -246,6 +262,8 @@ def main(args):
 
     to_save = elbo.create_dump_dict(state)
     to_save['vi_sigma'] = elbo.vi_sigma
+    if jax.process_index() != 0:
+        return      # multi-host: rank 0 owns the output files
     np.savez(args.output, **to_save)
 
     for name, posterior in zip(names, elbo.real_posterior_mean(state)):

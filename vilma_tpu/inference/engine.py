@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from vilma_tpu.ops import blocks as blocks_mod
 from vilma_tpu.ops import kernels
+from vilma_tpu.parallel.distributed import host_fetch as _fetch
 from vilma_tpu.models import sigma as sigma_mod
 from vilma_tpu.utils.config import epsilon
 
@@ -518,8 +519,14 @@ def _precompute_stats(ld, marginal_effects, std_errs, gwas_N, init_hg,
 
 def build_model_data(marginal_effects, std_errs, ld_mats, annotations,
                      mixture_covs, scaled, scale_se, gwas_N, init_hg,
-                     dtype=None):
-    """Assemble ModelData with the same validations as VIScheme.__init__."""
+                     dtype=None, mesh=None):
+    """Assemble ModelData with the same validations as VIScheme.__init__.
+
+    mesh: optional device mesh for multi-process execution — host inputs
+    are then placed directly as globally-sharded arrays (P x I arrays
+    sharded over 'snp', small state replicated) so the precompute jit and
+    everything downstream runs SPMD across hosts. ld_mats should come
+    from parallel.distributed.load_ld_sharded in that case."""
     marginal_effects = np.asarray(marginal_effects)
     std_errs = np.asarray(std_errs)
     if dtype is None:
@@ -571,38 +578,64 @@ def build_model_data(marginal_effects, std_errs, ld_mats, annotations,
         use_std_errs = np.copy(std_errs)
         scalings = np.ones_like(std_errs)
 
-    marginal = jnp.asarray(marginal, dtype=dtype)
-    use_std_errs_j = jnp.asarray(use_std_errs, dtype=dtype)
-    gwas_N = jnp.asarray(np.asarray(gwas_N), dtype=dtype)
-    init_hg = jnp.asarray(np.asarray(init_hg), dtype=dtype)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def _dev(x, spec):
+            return jax.device_put(np.asarray(x), NamedSharding(mesh, spec))
+
+        def as_pi(x):
+            return _dev(np.asarray(x, dtype=dtype), P(None, 'snp'))
+
+        def as_i(x):
+            return _dev(x, P('snp'))
+
+        def as_rep(x):
+            return _dev(np.asarray(x, dtype=dtype), P())
+    else:
+        def as_pi(x):
+            return jnp.asarray(x, dtype=dtype)
+
+        def as_i(x):
+            return jnp.asarray(x)
+
+        def as_rep(x):
+            return jnp.asarray(np.asarray(x), dtype=dtype)
+
+    marginal = as_pi(marginal)
+    use_std_errs_j = as_pi(use_std_errs)
+    gwas_N = as_rep(gwas_N)
+    init_hg = as_rep(init_hg)
     ld_tuple = tuple(ld_mats)
-    real_mask = jnp.asarray((row_sums > 0).astype(dtype))
+    real_mask = as_i((row_sums > 0).astype(dtype))
     ld_diags, chi_stat, adj, inverse_betas = _precompute_stats(
         ld_tuple, marginal, use_std_errs_j, gwas_N, init_hg, real_mask)
 
-    ld_diags_np = np.asarray(ld_diags)
-    if not np.allclose(np.asarray(adj)[np.isclose(ld_diags_np, 0)], 0):
+    from vilma_tpu.parallel.distributed import host_fetch
+    ld_diags_np = host_fetch(ld_diags)
+    if not np.allclose(host_fetch(adj)[np.isclose(ld_diags_np, 0)], 0):
         raise ValueError('Some SNPs that are missing in the LD matrix '
                          'are not being treated as missing.')
 
     num_annotations = annotations.shape[1]
     annot_idx = np.where(row_sums > 0, np.argmax(annotations, axis=1),
                          num_annotations).astype(np.int32)
+    scaled_ld_diags = jax.jit(lambda s, d: s ** -2 * d)(use_std_errs_j,
+                                                        ld_diags)
     return ModelData(
         marginal_effects=marginal,
         std_errs=use_std_errs_j,
-        scalings=jnp.asarray(scalings, dtype=dtype),
+        scalings=as_pi(scalings),
         ld_diags=ld_diags,
-        scaled_ld_diags=use_std_errs_j ** -2 * ld_diags,
+        scaled_ld_diags=scaled_ld_diags,
         adj_marginal_effects=adj,
         chi_stat=chi_stat,
-        ld_ranks=jnp.asarray([ld.get_rank() for ld in ld_mats],
-                             dtype=dtype),
+        ld_ranks=as_rep([ld.get_rank() for ld in ld_mats]),
         inverse_betas=inverse_betas,
-        annotations=jnp.asarray(annot_idx),
-        annotation_counts=jnp.asarray(annotations.sum(axis=0), dtype=dtype),
-        mixture_prec=jnp.asarray(mixture_prec, dtype=dtype),
-        log_det=jnp.asarray(log_det, dtype=dtype),
+        annotations=as_i(annot_idx),
+        annotation_counts=as_rep(annotations.sum(axis=0)),
+        mixture_prec=as_rep(mixture_prec),
+        log_det=as_rep(log_det),
         ld=ld_tuple,
         num_annotations=int(annotations.shape[1]),
         scale_se=bool(scale_se),
@@ -610,8 +643,31 @@ def build_model_data(marginal_effects, std_errs, ld_mats, annotations,
 
 
 # ---------------------------------------------------------------------------
-# User-facing engine
+# User-facing engine. Host-side glue never runs eager jnp ops directly on
+# (possibly non-addressable multi-host) arrays — everything goes through
+# these jitted helpers.
 # ---------------------------------------------------------------------------
+
+_scaled_posterior_mean = jax.jit(
+    lambda vi_mu, vi_delta, scalings:
+    posterior_mean(vi_mu, vi_delta) * scalings)
+
+_scaled_posterior_variance = jax.jit(
+    lambda vi_mu, vi_delta, diag, scalings:
+    kernels.fast_pmv(posterior_mean(vi_mu, vi_delta), vi_mu, vi_delta,
+                     diag) * scalings ** 2)
+
+_make_summaries_jit = jax.jit(
+    lambda mixture_prec, log_det, scaled_ld_diags, error_scaling:
+    sigma_mod.make_summaries(mixture_prec, log_det,
+                             scaled_ld_diags / error_scaling[:, None]))
+
+_vi_delta_grad_jit = jax.jit(kernels.fast_vi_delta_grad)
+
+_materialize_sigma_jit = jax.jit(
+    lambda mixture_prec, scaled_ld_diags, error_scaling:
+    sigma_mod.materialize_sigma(
+        mixture_prec, scaled_ld_diags / error_scaling[:, None]))
 
 class MultiPopVI:
     """Drop-in equivalent of the reference MultiPopVI
@@ -637,20 +693,39 @@ class MultiPopVI:
             if val is None:
                 raise ValueError(f'{name} must be specified when calling '
                                  'MultiPopVI()')
+        self._multiproc = jax.process_count() > 1
+        if self._multiproc and mesh is None:
+            raise ValueError('multi-process fits need a device mesh '
+                             '(--mesh snp=<total devices>)')
+        if self._multiproc and (np.asarray(marginal_effects).shape[1]
+                                % mesh.shape['snp']):
+            raise ValueError('multi-process fits need the variant count '
+                             'to be divisible by the snp mesh axis; pad '
+                             'the extract list or adjust the mesh')
         self.data = build_model_data(marginal_effects, std_errs, ld_mats,
                                      annotations, mixture_covs, scaled,
-                                     scale_se, gwas_N, init_hg, dtype=dtype)
+                                     scale_se, gwas_N, init_hg, dtype=dtype,
+                                     mesh=mesh if self._multiproc else None)
         self.mesh = mesh
         if out_index is None:
             out_index = np.arange(self.data.marginal_effects.shape[1])
         self._out_index = np.asarray(out_index)
         self._orig_loci = int(self._out_index.shape[0])
-        if mesh is not None:
+        if self._multiproc:
+            pass        # build_model_data already placed everything
+        elif mesh is not None:
             from vilma_tpu.parallel import mesh as mesh_mod
             from vilma_tpu.parallel import padding
             self.data, _ = padding.pad_model_data(
                 self.data, mesh.shape['snp'])
             self.data = mesh_mod.shard_data(self.data, mesh)
+        else:
+            # --mmap spills arrive as disk-backed numpy bucket leaves;
+            # promote them to device arrays once so every jitted step does
+            # not re-stream them host->device
+            self.data = jax.tree.map(
+                lambda x: jnp.asarray(x) if isinstance(x, np.ndarray)
+                else x, self.data)
         self.scaled = scaled
         self.scale_se = scale_se
         self.checkpoint = checkpoint
@@ -668,31 +743,34 @@ class MultiPopVI:
     # -- pieces reused by fit/sim/tests ------------------------------------
     @property
     def error_scaling(self):
-        return np.asarray(self.state.error_scaling)
+        return _fetch(self.state.error_scaling)
 
     @property
     def scalings(self):
-        return np.asarray(self.data.scalings)
+        return _fetch(self.data.scalings)
 
     @property
     def vi_sigma(self):
         """Materialized [K,P,P,I] variational covariances (output parity
         with reference vi_options.py:264 only — never used in compute)."""
-        dterm = _diag_term(self.data, self.state.error_scaling)
-        return np.asarray(sigma_mod.materialize_sigma(
-            self.data.mixture_prec, dterm))[..., self._out_index]
+        return _fetch(_materialize_sigma_jit(
+            self.data.mixture_prec, self.data.scaled_ld_diags,
+            self.state.error_scaling))[..., self._out_index]
 
     def _fresh_state(self, error_scaling=None):
         dtype = self.data.marginal_effects.dtype
+        # host leaves stay numpy until they enter a jit (multi-host: numpy
+        # args are valid replicated pjit inputs; local jax.Arrays are not)
         if error_scaling is None:
-            error_scaling = jnp.ones(self.num_pops, dtype=dtype)
+            error_scaling = np.ones(self.num_pops, dtype=dtype)
         else:
-            error_scaling = jnp.asarray(error_scaling, dtype=dtype)
-        sig = sigma_mod.make_summaries(
-            self.data.mixture_prec, self.data.log_det,
-            _diag_term(self.data, error_scaling))
+            error_scaling = np.asarray(error_scaling, dtype=dtype)
+        sig = _make_summaries_jit(self.data.mixture_prec,
+                                  self.data.log_det,
+                                  self.data.scaled_ld_diags,
+                                  error_scaling)
         K = self.num_mix
-        zeros = lambda *s: jnp.zeros(s, dtype=dtype)  # noqa: E731
+        zeros = lambda *s: np.zeros(s, dtype=dtype)  # noqa: E731
         return VIState(
             vi_mu=zeros(K, self.num_pops, self._padded_loci),
             vi_delta=zeros(self._padded_loci, K),
@@ -700,10 +778,10 @@ class MultiPopVI:
             error_scaling=error_scaling,
             nat_grad_vi_delta=zeros(self._padded_loci, K - 1),
             sigma=sig,
-            L=jnp.ones(3, dtype=dtype),
-            elbo=jnp.asarray(0., dtype=dtype),
-            running_elbo_delta=jnp.asarray(np.nan, dtype=dtype),
-            num_err=jnp.asarray(0, dtype=jnp.int32),
+            L=np.ones(3, dtype=dtype),
+            elbo=np.asarray(0., dtype=dtype),
+            running_elbo_delta=np.asarray(np.nan, dtype=dtype),
+            num_err=np.asarray(0, dtype=np.int32),
         )
 
     def _initialize(self):
@@ -713,16 +791,14 @@ class MultiPopVI:
         # runs consume the same RNG stream as the reference regardless of
         # layout padding; pad slots keep vi_mu exactly 0
         fake = make_fake_mu(
-            np.asarray(self.data.inverse_betas)[:, ix],
-            np.asarray(self.data.std_errs)[:, ix],
-            np.asarray(self.data.ld_diags)[:, ix])
+            _fetch(self.data.inverse_betas)[:, ix],
+            _fetch(self.data.std_errs)[:, ix],
+            _fetch(self.data.ld_diags)[:, ix])
         fake_mu = np.zeros((self.num_pops, self._padded_loci),
-                           dtype=fake.dtype)
+                           dtype=self.data.marginal_effects.dtype)
         fake_mu[:, ix] = fake
-        fake_mu = jnp.asarray(fake_mu,
-                              dtype=self.data.marginal_effects.dtype)
         logging.info('Largest inverse_beta is %f',
-                     float(np.max(np.abs(np.asarray(
+                     float(np.max(np.abs(_fetch(
                          self.data.inverse_betas)))))
         vi_mu, vi_delta, hyper, nat_vd = initialize_from_fake_mu(
             self.data, st.sigma, st.error_scaling, fake_mu)
@@ -741,8 +817,8 @@ class MultiPopVI:
                             'checkpoint. That is okay, but we will have '
                             'to assume that the error scalings are 1.')
         st = self._fresh_state(error_scaling)
-        nat_vd = kernels.fast_vi_delta_grad(
-            jnp.asarray(loaded_checkpoint['hyper_delta'], dtype=dtype),
+        nat_vd = _vi_delta_grad_jit(
+            np.asarray(loaded_checkpoint['hyper_delta'], dtype=dtype),
             self.data.log_det, self.data.annotations)
         vi_mu_in = np.asarray(loaded_checkpoint['vi_mu'], dtype=dtype)
         vi_delta_in = np.asarray(loaded_checkpoint['vi_delta'],
@@ -758,10 +834,10 @@ class MultiPopVI:
         vi_delta[ix] = vi_delta_in
         return dataclasses.replace(
             st,
-            vi_mu=jnp.asarray(vi_mu),
-            vi_delta=jnp.asarray(vi_delta),
-            hyper_delta=jnp.asarray(loaded_checkpoint['hyper_delta'],
-                                    dtype=dtype),
+            vi_mu=vi_mu,
+            vi_delta=vi_delta,
+            hyper_delta=np.asarray(loaded_checkpoint['hyper_delta'],
+                                   dtype=dtype),
             nat_grad_vi_delta=nat_vd)
 
     def elbo_value(self, st=None):
@@ -773,25 +849,24 @@ class MultiPopVI:
         st = st or self.state
         ix = self._out_index
         return {
-            'vi_mu': np.asarray(st.vi_mu)[:, :, ix],
-            'vi_delta': np.asarray(st.vi_delta)[ix],
-            'hyper_delta': np.asarray(st.hyper_delta),
-            'error_scaling': np.asarray(st.error_scaling),
-            'scalings': np.asarray(self.data.scalings)[:, ix],
+            'vi_mu': _fetch(st.vi_mu)[:, :, ix],
+            'vi_delta': _fetch(st.vi_delta)[ix],
+            'hyper_delta': _fetch(st.hyper_delta),
+            'error_scaling': _fetch(st.error_scaling),
+            'scalings': _fetch(self.data.scalings)[:, ix],
         }
 
     def real_posterior_mean(self, st=None):
         st = st or self.state
-        return np.asarray(posterior_mean(st.vi_mu, st.vi_delta)
-                          * self.data.scalings)[:, self._out_index]
+        return _fetch(_scaled_posterior_mean(
+            st.vi_mu, st.vi_delta,
+            self.data.scalings))[:, self._out_index]
 
     def real_posterior_variance(self, st=None):
         st = st or self.state
-        mean = posterior_mean(st.vi_mu, st.vi_delta)
-        pmv = posterior_marginal_variance(mean, st.vi_mu, st.vi_delta,
-                                          st.sigma)
-        return np.asarray(pmv * self.data.scalings ** 2)[:,
-                                                         self._out_index]
+        return _fetch(_scaled_posterior_variance(
+            st.vi_mu, st.vi_delta, st.sigma.diag,
+            self.data.scalings))[:, self._out_index]
 
     def optimize(self, loaded_checkpoint=None):
         """Coordinate ascent until convergence
@@ -815,24 +890,25 @@ class MultiPopVI:
                               st.vi_mu, st.vi_delta, st.hyper_delta))
         converged = False
         num_its = 0
-        post_mean = np.asarray(posterior_mean(st.vi_mu, st.vi_delta)
-                               * self.data.scalings)
+        post_mean = _fetch(_scaled_posterior_mean(st.vi_mu, st.vi_delta,
+                                                  self.data.scalings))
         ckp_post_mean = post_mean
         prev_err = 0
         while num_its < self.num_its and not converged:
             if num_its % self.checkpoint_freq == 0 and self.checkpoint:
                 fname = '{}.{}'.format(self.checkpoint_path, num_its)
-                np.savez(fname, **self.create_dump_dict(st))
-                ckp_post_mean = np.asarray(
-                    posterior_mean(st.vi_mu, st.vi_delta)
-                    * self.data.scalings)
+                dump = self.create_dump_dict(st)
+                if jax.process_index() == 0:
+                    np.savez(fname, **dump)
+                ckp_post_mean = _fetch(_scaled_posterior_mean(
+                    st.vi_mu, st.vi_delta, self.data.scalings))
             st, new_post_mean = outer_step(self.data, st,
                                            line_search_rate=2.0)
             num_err = int(st.num_err)
             if num_err > prev_err:
                 raise RuntimeError('Encountered a numerical error.')
             prev_err = num_err
-            new_post_mean = np.asarray(new_post_mean)
+            new_post_mean = _fetch(new_post_mean)
             red = float(st.running_elbo_delta)
 
             converged = np.allclose(new_post_mean, post_mean, atol=ABS_TOL,
@@ -862,7 +938,7 @@ class MultiPopVI:
         logging.info('Maximum posterior mean beta: %e',
                      np.max(np.abs(new_post_mean)))
         logging.info('SE scaling is: %r',
-                     np.asarray(st.error_scaling))
+                     _fetch(st.error_scaling))
         logging.info('Max relative difference is: %e',
                      np.max(np.abs((new_post_mean - post_mean)
                                    / (post_mean + eps))))

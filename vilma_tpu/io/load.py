@@ -171,6 +171,12 @@ def load_ld_mat(ld_path, variant_indices=None, mismatch=None, signs=None):
         signs = np.ones(num_snps)
 
     if ld_matrix.shape[0] == ld_matrix.shape[1]:
+        # the dense square format is the only one that can be asymmetric
+        # on disk (the stacked-eigendecomposition reconstruction below is
+        # symmetric by construction); eigh reads one triangle, so a corrupt
+        # file must be rejected here (reference matrix_structures.py:102-103)
+        if not np.allclose(ld_matrix, ld_matrix.T):
+            raise ValueError('Provided matrix is not symmetric')
         accepted = np.copy(ld_matrix[np.ix_(variant_indices,
                                             variant_indices)])
         accepted = accepted * np.outer(signs, signs)
@@ -190,25 +196,20 @@ def load_ld_mat(ld_path, variant_indices=None, mismatch=None, signs=None):
     return (u_mat * s_vec).dot(u_mat.T)
 
 
-def load_ld_from_schema(schema_path, variants, denylist, ldthresh,
-                        mmap=False, dtype=np.float64):
-    """Load a block LD matrix from a schema, matched to `variants`
-    (reference load.py:237-354).
+def matched_schema_entries(schema_path, variants, denylist):
+    """Metadata-only pass over a schema: which rows/columns of each block
+    survive variant matching, and with which allele-flip signs.
 
-    Returns (PackedLD ordered like `variants`, list of variant positions
-    missing LD info). `mmap` is accepted for CLI compatibility; packed
-    factors are staged in host RAM before transfer to device HBM. For
-    seeded-run parity we reproduce the reference's RNG stream in mmap mode:
-    its HDF5 spill path draws two random-100-char dataset names per block
-    from the global numpy RNG (reference matrix_structures.py:31-35,
-    120-135), which shifts every subsequent seeded draw (e.g. all `sim`
-    outputs, which hardcode mmap=True, reference sim.py:218-224).
+    Yields one dict per *included* manifest entry, in manifest order:
+    {ld_path, variant_indices [bool over block rows], mismatch [bool over
+    kept rows], signs [+-1 over kept rows], idx [genome positions of the
+    finally-kept rows], num_flipped}. Reads only .var files, never the
+    (potentially huge) .npy payloads — this is what lets multi-host
+    loaders agree on the global block structure without every host
+    touching every matrix (matching reference load.py:269-329 semantics).
     """
-    factors = []
-    block_indices = []
     var_reidx = variants.set_index('ID')
     var_reidx['old_idx'] = np.arange(var_reidx.shape[0])
-    total_flipped = 0
     for snp_path, ld_path in schema_iterator(schema_path):
         snp_metadata = pd.read_csv(snp_path, header=None,
                                    names=['ID', 'CHROM', 'BP',
@@ -226,7 +227,6 @@ def load_ld_from_schema(schema_path, variants, denylist, ldthresh,
         variant_indices[to_change] = False
         logging.info('Proportion of variant indices being used: %e',
                      np.mean(variant_indices))
-        kept_ids = kept_ids.iloc[keep]
         idx = idx[keep]
         if len(idx) == 0:
             continue
@@ -237,30 +237,82 @@ def load_ld_from_schema(schema_path, variants, denylist, ldthresh,
         ld_a2 = snp_metadata['A2'].iloc[variant_indices].to_numpy()
         stay = (my_a1 == ld_a1) & (my_a2 == ld_a2)
         flip = (my_a1 == ld_a2) & (my_a2 == ld_a1)
-        total_flipped += int(flip.sum())
         mismatch = (~flip) & (~stay)
         if len(idx[~mismatch]) == 0:
             continue
         signs[flip] = -1
+        yield {
+            'ld_path': ld_path,
+            'variant_indices': variant_indices,
+            'mismatch': mismatch,
+            'signs': signs,
+            'idx': idx[~mismatch],
+            'num_flipped': int(flip.sum()),
+        }
 
-        accepted_matrix = load_ld_mat(ld_path, variant_indices, mismatch,
-                                      signs)
-        block_indices.append(idx[~mismatch])
-        factors.append(lowrank.factor_block(X=accepted_matrix, t=ldthresh,
-                                            check_symmetric=False))
-        if mmap:
-            # consume the reference's two random-dataset-name draws
-            import string as _string
-            chars = list(_string.ascii_letters + _string.digits)
-            np.random.choice(chars, size=100)
-            np.random.choice(chars, size=100)
 
-    n = variants.shape[0]
-    packed = blocks_mod.pack(factors, block_indices, n, dtype=dtype)
-    list_of_missing = list(packed.missing)
+def load_entry_factor(entry, ldthresh):
+    """Load one matched entry's .npy and eigendecompose it — the
+    expensive per-block O(n^3) step."""
+    accepted = load_ld_mat(entry['ld_path'], entry['variant_indices'],
+                           entry['mismatch'], entry['signs'])
+    return lowrank.factor_block(X=accepted, t=ldthresh,
+                                check_symmetric=False)
+
+
+def consume_mmap_rng_draws():
+    """Consume the reference's two random-dataset-name draws per block.
+
+    The reference's HDF5 spill path draws two random-100-char dataset
+    names per block from the global numpy RNG (reference
+    matrix_structures.py:31-35,120-135), which shifts every subsequent
+    seeded draw (e.g. all `sim` outputs, which hardcode mmap=True,
+    reference sim.py:218-224) — so mmap mode must reproduce them.
+    """
+    import string as _string
+    chars = list(_string.ascii_letters + _string.digits)
+    np.random.choice(chars, size=100)
+    np.random.choice(chars, size=100)
+
+
+def _log_schema_summary(n, num_missing, total_flipped):
     logging.info('Loaded a total of %d variants.', n)
     logging.warning('Missing LD info for %d variants. They will be ignored '
-                    'during optimization.', len(list_of_missing))
+                    'during optimization.', num_missing)
     logging.warning('The alleles did not match for %d variants. They were '
                     'flipped', total_flipped)
+
+
+def load_ld_from_schema(schema_path, variants, denylist, ldthresh,
+                        mmap=False, dtype=np.float64, spill_dir=None):
+    """Load a block LD matrix from a schema, matched to `variants`
+    (reference load.py:237-354).
+
+    Returns (PackedLD ordered like `variants`, list of variant positions
+    missing LD info). With `mmap`, factor payloads and the packed bucket
+    tensors are staged through disk-backed memmaps under `spill_dir`
+    (a tempdir by default) instead of host RAM, bounding peak host memory
+    at genome scale (the reference's HDF5 spill, matrix_structures.py:
+    120-135) — and the reference's mmap RNG-stream side effects are
+    reproduced for seeded parity.
+    """
+    factors = []
+    block_indices = []
+    total_flipped = 0
+    spill = blocks_mod.FactorSpill(spill_dir) if mmap else None
+    for entry in matched_schema_entries(schema_path, variants, denylist):
+        total_flipped += entry['num_flipped']
+        factor = load_entry_factor(entry, ldthresh)
+        if spill is not None:
+            factor = spill.store(factor)
+        factors.append(factor)
+        block_indices.append(entry['idx'])
+        if mmap:
+            consume_mmap_rng_draws()
+
+    n = variants.shape[0]
+    packed = blocks_mod.pack(factors, block_indices, n, dtype=dtype,
+                             spill=spill)
+    list_of_missing = list(packed.missing)
+    _log_schema_summary(n, len(list_of_missing), total_flipped)
     return packed, list_of_missing

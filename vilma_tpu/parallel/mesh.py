@@ -47,64 +47,87 @@ def pad_to_multiple(x, multiple, axis, fill=0.0):
     return np.pad(x, widths, constant_values=fill)
 
 
-def _spec_for(name, ndim, mesh):
-    """PartitionSpec for a named engine array (see engine.ModelData /
-    engine.VIState field comments for shapes)."""
-    has_comp = mesh.shape['comp'] > 1
-    comp = 'comp' if has_comp else None
-    specs = {
+def _specs(comp):
+    """PartitionSpecs keyed by (owner dataclass, field) — keying on the
+    owner prevents silent mis-sharding should two dataclasses ever reuse a
+    field name with a different layout (see engine.ModelData /
+    engine.VIState / sigma.SigmaSummaries / blocks.BlockBucket field
+    comments for shapes)."""
+    return {
         # ModelData [P, I] arrays
-        'marginal_effects': P(None, 'snp'),
-        'std_errs': P(None, 'snp'),
-        'scalings': P(None, 'snp'),
-        'ld_diags': P(None, 'snp'),
-        'scaled_ld_diags': P(None, 'snp'),
-        'adj_marginal_effects': P(None, 'snp'),
-        'inverse_betas': P(None, 'snp'),
-        'annotations': P('snp'),
-        'chi_stat': P(),
-        'ld_ranks': P(),
-        'annotation_counts': P(),
-        'mixture_prec': P(comp),
-        'log_det': P(comp),
+        ('ModelData', 'marginal_effects'): P(None, 'snp'),
+        ('ModelData', 'std_errs'): P(None, 'snp'),
+        ('ModelData', 'scalings'): P(None, 'snp'),
+        ('ModelData', 'ld_diags'): P(None, 'snp'),
+        ('ModelData', 'scaled_ld_diags'): P(None, 'snp'),
+        ('ModelData', 'adj_marginal_effects'): P(None, 'snp'),
+        ('ModelData', 'inverse_betas'): P(None, 'snp'),
+        ('ModelData', 'annotations'): P('snp'),
+        ('ModelData', 'chi_stat'): P(),
+        ('ModelData', 'ld_ranks'): P(),
+        ('ModelData', 'annotation_counts'): P(),
+        ('ModelData', 'mixture_prec'): P(comp),
+        ('ModelData', 'log_det'): P(comp),
         # VIState
-        'vi_mu': P(comp, None, 'snp'),
-        'vi_delta': P('snp', comp),
-        'hyper_delta': P(None, comp),
-        'error_scaling': P(),
-        'nat_grad_vi_delta': P('snp'),
-        'L': P(),
-        'elbo': P(),
-        'running_elbo_delta': P(),
-        'num_err': P(),
+        ('VIState', 'vi_mu'): P(comp, None, 'snp'),
+        ('VIState', 'vi_delta'): P('snp', comp),
+        ('VIState', 'hyper_delta'): P(None, comp),
+        ('VIState', 'error_scaling'): P(),
+        ('VIState', 'nat_grad_vi_delta'): P('snp'),
+        ('VIState', 'L'): P(),
+        ('VIState', 'elbo'): P(),
+        ('VIState', 'running_elbo_delta'): P(),
+        ('VIState', 'num_err'): P(),
         # SigmaSummaries
-        'log_det_sigma': P(comp, 'snp'),
-        'sigma_summary': P('snp', comp),
-        'diag': P(comp, None, 'snp'),
-        'matches': P('snp', comp),
+        ('SigmaSummaries', 'log_det_sigma'): P(comp, 'snp'),
+        ('SigmaSummaries', 'sigma_summary'): P('snp', comp),
+        ('SigmaSummaries', 'diag'): P(comp, None, 'snp'),
+        ('SigmaSummaries', 'matches'): P('snp', comp),
         # PackedLD buckets: shard the block axis
-        'u': P('snp'),
-        'grows': P('snp'),
-        'srows': P('snp'),
-        's': P('snp'),
-        'inv_s': P('snp'),
-        'd': P('snp'),
-        'perm': P('snp'),
+        ('BlockBucket', 'u'): P('snp'),
+        ('BlockBucket', 'grows'): P('snp'),
+        ('BlockBucket', 'srows'): P('snp'),
+        ('BlockBucket', 's'): P('snp'),
+        ('BlockBucket', 'inv_s'): P('snp'),
+        ('BlockBucket', 'd'): P('snp'),
+        ('BlockBucket', 'perm'): P('snp'),
+        ('BlockBucket', 'seq'): P('snp'),
     }
-    spec = specs.get(name)
-    if spec is None:
-        spec = P()
-    return NamedSharding(mesh, spec)
 
 
 def _shard_dataclass(obj, mesh):
     import dataclasses
+    has_comp = mesh.shape['comp'] > 1
+    specs = _specs('comp' if has_comp else None)
+    owner = type(obj).__name__
     updates = {}
     for f in dataclasses.fields(obj):
         val = getattr(obj, f.name)
+        if isinstance(val, jax.Array) and not val.is_fully_addressable:
+            # already a global (multi-host) array with jit-propagated
+            # sharding; cross-process resharding via device_put is not a
+            # thing, and downstream jits accept any input sharding
+            continue
         if isinstance(val, jax.Array) or isinstance(val, np.ndarray):
-            sharding = _spec_for(f.name, np.ndim(val), mesh)
-            updates[f.name] = jax.device_put(val, sharding)
+            if isinstance(val, jax.Array) and jax.process_count() > 1:
+                # local jax.Arrays cannot be device_put onto a global
+                # mesh; round-trip through the (identical-per-process)
+                # host value instead
+                val = np.asarray(val)
+            spec = specs.get((owner, f.name), P())
+            sharding = NamedSharding(mesh, spec)
+            arr = np.asarray(val)
+            if (jax.process_count() > 1 and arr.dtype.kind == 'f'
+                    and np.isnan(arr).any()):
+                # multi-process device_put equality-checks host inputs
+                # across processes, and NaN != NaN; materialize NaN
+                # sentinels (e.g. VIState.running_elbo_delta) as jit
+                # constants instead
+                updates[f.name] = jax.jit(
+                    lambda a=arr: jax.numpy.asarray(a),
+                    out_shardings=sharding)()
+            else:
+                updates[f.name] = jax.device_put(val, sharding)
         elif dataclasses.is_dataclass(val):
             updates[f.name] = _shard_dataclass(val, mesh)
         elif isinstance(val, tuple) and val and dataclasses.is_dataclass(
