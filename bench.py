@@ -148,7 +148,11 @@ def accel_main():
     print('ACCEL_IPS', _bench_steps(data32, state32, N_STEPS), flush=True)
 
 
-def _run_accel_subprocess(timeout_s=1500):
+def _run_accel_subprocess(timeout_s=None):
+    if timeout_s is None:
+        # the 1M config spends ~25 min in host-side pack + tunnel
+        # transfer before a single step runs
+        timeout_s = 2900 if NUM_LOCI >= 1_000_000 else 1500
     import subprocess
     import sys
     env = dict(os.environ)
@@ -185,8 +189,14 @@ def main():
     cpu = jax.devices('cpu')[0]
     have_accel = any(d.platform != 'cpu' for d in jax.devices())
 
-    data64, state64 = _build(np.float64, cpu)
-    cpu_ips = _bench_steps(data64, state64, N_STEPS)
+    # BENCH_CPU_IPS short-circuits the (slow, deterministic) host-CPU f64
+    # baseline leg with a previously measured value, so the accelerator
+    # leg can be re-run alone; measured values are recorded in BASELINE.md
+    if os.environ.get('BENCH_CPU_IPS'):
+        cpu_ips = float(os.environ['BENCH_CPU_IPS'])
+    else:
+        data64, state64 = _build(np.float64, cpu)
+        cpu_ips = _bench_steps(data64, state64, N_STEPS)
 
     value = cpu_ips
     if have_accel:
