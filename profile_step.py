@@ -120,9 +120,8 @@ def main():
             return jnp.logical_and(it < engine.MAX_NUM_ITERS,
                                    jnp.logical_not(done))
 
-        L = jnp.asarray(np.asarray(st.L))
         out = lax.while_loop(cond, body, (
-            st.vi_mu, st.vi_delta, L[0], obj0, pm0, lk0,
+            st.vi_mu, st.vi_delta, st.L[0], obj0, pm0, lk0,
             jnp.asarray(0), jnp.asarray(0), jnp.asarray(False)))
         return out[6], out[7]
 

@@ -22,7 +22,12 @@ def test_bucket_matvec_matches_einsum():
 
 
 def test_supported_policy():
-    assert pk.supported(1024, 512, jnp.float32)
-    assert not pk.supported(8, 8, jnp.float32)
-    assert not pk.supported(1024, 512, jnp.float64)
-    assert not pk.supported(8192, 8192, jnp.float32)
+    import jax
+    # tests run with x64 enabled, where the kernel is always refused
+    # (Mosaic rejects i64 program ids); check the f32-mode policy too
+    assert not pk.supported(1024, 512, jnp.float32)
+    with jax.enable_x64(False):
+        assert pk.supported(1024, 512, jnp.float32)
+        assert not pk.supported(8, 8, jnp.float32)
+        assert not pk.supported(1024, 512, jnp.float64)
+        assert not pk.supported(8192, 8192, jnp.float32)

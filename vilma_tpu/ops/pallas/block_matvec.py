@@ -36,6 +36,10 @@ def supported(pmax, rmax, dtype):
     """Whether the fused kernel applies to this bucket."""
     if dtype != jnp.float32:
         return False
+    if jax.config.jax_enable_x64:
+        # Mosaic rejects the kernel under x64 (i64 program ids fail
+        # func.return legalization); the f32 fast path never enables x64
+        return False
     if pmax * rmax * 4 > 8 * 1024 * 1024:   # U tile must fit VMEM (2 bufs)
         return False
     return pmax >= 128 and rmax >= 128
