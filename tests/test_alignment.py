@@ -155,3 +155,56 @@ def test_cli_fit_align_layout_matches_golden(tmp_path):
                                atol=1e-10), col
         else:
             assert (truth[col] == cli[col]).all(), col
+
+
+def test_relayout_blocks_with_holes():
+    """Blocks with holes (variants dropped inside a cohort's LD window —
+    denylisted/mismatched) must still get the aligned layout: only
+    ascending order and disjoint [min, max] intervals are required."""
+    rng = np.random.default_rng(5)
+    from vilma_tpu.ops import lowrank
+    n = 260
+    # cohort A: two blocks with interior holes; cohort B: contiguous
+    def holey(start, window, keep):
+        ix = np.sort(rng.choice(np.arange(start, start + window),
+                                size=keep, replace=False))
+        a = rng.standard_normal((keep, keep))
+        x = a @ a.T / keep
+        return lowrank.factor_block(X=x, t=1.0,
+                                    check_symmetric=False), ix, x
+    f1, ix1, x1 = holey(0, 120, 97)
+    f2, ix2, x2 = holey(120, 130, 110)
+    ld_a = blocks.pack([f1, f2], [ix1, ix2], n)
+    f3, ix3, x3 = holey(0, 250, 250)       # keep == window: contiguous
+    ld_b = blocks.pack([f3], [ix3], n)
+
+    layout_map, L, ok = alignment.compute_layout([ld_a, ld_b], n)
+    assert ok and L % 128 == 0
+    assert np.unique(layout_map).size == n
+
+    v = rng.standard_normal(n)
+    v_layout = alignment.relayout_rows(v, layout_map, L)
+    for ld in (ld_a, ld_b):
+        ld2 = alignment.relayout_ld(ld, layout_map, L)
+        assert ld2.row_aligned
+        y_orig = np.asarray(blocks.dot(ld, v))
+        y_layout = np.asarray(blocks.dot(ld2, v_layout))
+        assert np.allclose(y_layout[layout_map], y_orig, atol=1e-9)
+        assert np.isclose(ld2.get_rank(), ld.get_rank())
+
+
+def test_interleaved_blocks_skip_alignment():
+    """Blocks whose index intervals interleave (arbitrary extract-file
+    ordering) must be refused, not mis-laid-out."""
+    rng = np.random.default_rng(6)
+    from vilma_tpu.ops import lowrank
+    n = 40
+    ix1 = np.array([0, 2, 4, 6, 8, 10])
+    ix2 = np.array([1, 3, 5, 7, 9, 11])
+    def f(k):
+        a = rng.standard_normal((k, k))
+        return lowrank.factor_block(X=a @ a.T / k, t=1.0,
+                                    check_symmetric=False)
+    ld = blocks.pack([f(6), f(6)], [ix1, ix2], n)
+    _, _, ok = alignment.compute_layout([ld], n)
+    assert not ok

@@ -105,8 +105,9 @@ def args(super_parser):
                              '128-aligned memory spans, enabling the '
                              'fast row-wise matvec path on TPU. Outputs '
                              'are identical (inert padding slots); '
-                             'automatically skipped when blocks are not '
-                             'contiguous genome ranges.')
+                             'handles variants dropped inside LD windows '
+                             'and is automatically skipped only when '
+                             'block index ranges interleave.')
     return parser
 
 

@@ -27,20 +27,24 @@ from vilma_tpu.ops import lowrank
 
 
 def _block_ranges(ld):
-    """Extract (start, stop, factor) per block from a PackedLD; returns
-    None if any block is not a contiguous ascending genome range."""
+    """Extract (start, stop, kept_indices, factor) per block from a
+    PackedLD. Blocks may have HOLES (variants inside the genomic window
+    that this cohort dropped — denylisted, mismatched, or missing
+    sumstats): only ascending order and pairwise-disjoint [min, max+1)
+    intervals are required. Returns None when intervals interleave (an
+    arbitrary extract-file ordering), in which case alignment is
+    skipped."""
     out = []
     for bk in ld.buckets:
         perm = np.asarray(bk.perm)
         u = np.asarray(bk.u)
         s = np.asarray(bk.s)
-        inv_s = np.asarray(bk.inv_s)
         d = np.asarray(bk.d)
         for b in range(perm.shape[0]):
             ix = perm[b][perm[b] < ld.n]
             if ix.size == 0:
                 continue
-            if not np.array_equal(ix, ix[0] + np.arange(ix.size)):
+            if ix.size > 1 and not np.all(np.diff(ix) > 0):
                 return None
             r = int(np.sum(np.abs(u[b]).sum(axis=0) > 0))
             r = max(r, 1)
@@ -48,8 +52,11 @@ def _block_ranges(ld):
                 u=np.ascontiguousarray(u[b, :ix.size, :r]),
                 s=s[b, :r].copy(), d=d[b, :ix.size].copy(),
                 rank=int(np.sum(s[b, :r] > 0)) if s[b, :r].size else 0)
-            out.append((int(ix[0]), int(ix[0] + ix.size), f))
+            out.append((int(ix[0]), int(ix[-1]) + 1, ix.copy(), f))
     out.sort(key=lambda t: t[0])
+    for (a0, b0, _, _), (a1, _, _, _) in zip(out, out[1:]):
+        if a1 < b0:
+            return None        # interleaved intervals
     return out
 
 
@@ -65,7 +72,7 @@ def compute_layout(lds, n):
         if ranges is None:
             return None, None, False
         ranges_per_ld.append(ranges)
-        for a, b, _ in ranges:
+        for a, b, _, _ in ranges:
             boundaries.add(a)
             boundaries.add(b)
     cuts = np.array(sorted(boundaries), dtype=np.int64)
@@ -84,9 +91,12 @@ def relayout_ld(ld, layout_map, L, dtype=None):
         dtype = np.asarray(ld.buckets[0].u).dtype if ld.buckets else np.float64
     ranges = _block_ranges(ld)
     factors, indices = [], []
-    for a, b, f in ranges:
-        new_ix = layout_map[a:b]
-        span_start = int(new_ix[0])
+    for a, b, ix, f in ranges:
+        # the factor's kept rows scatter to their layout slots; holes
+        # (dropped variants inside the window) and pads stay zero rows,
+        # which is exactly the "missing for this cohort" semantics
+        new_ix = layout_map[ix]
+        span_start = int(layout_map[a])
         span_len = int(new_ix[-1]) + 1 - span_start
         span_len = int(-(-span_len // 128) * 128)
         u_span = np.zeros((span_len, f.u.shape[1]), dtype=f.u.dtype)
