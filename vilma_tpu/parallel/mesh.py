@@ -29,7 +29,12 @@ def make_mesh(n_snp=None, n_comp=1, devices=None):
     scales with problem size; component sharding helps at very large K).
     """
     if devices is None:
-        devices = jax.devices()
+        # process-major order: a contiguous slice of the snp axis then
+        # maps to one process's devices, which is what the multi-host
+        # loader's per-process block ownership assumes
+        # (parallel/distributed.py)
+        devices = sorted(jax.devices(),
+                         key=lambda d: (d.process_index, d.id))
     if n_snp is None:
         n_snp = len(devices) // n_comp
     devices = np.asarray(devices[:n_comp * n_snp]).reshape(n_comp, n_snp)
