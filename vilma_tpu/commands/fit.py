@@ -212,6 +212,13 @@ def main(args):
         # unchanged (inert pads, original variant order restored)
         logging.info('Enabling --align-layout for the f32 path.')
         args.align_layout = True
+    if args.align_layout and multiproc:
+        # sharded-loaded LD lives in non-addressable global arrays; the
+        # host-side relayout cannot read them (and the sharded loader
+        # already controls its own layout)
+        logging.warning('--align-layout is not supported with '
+                        'multi-process execution; skipping.')
+        args.align_layout = False
     if args.align_layout:
         from vilma_tpu.parallel import alignment
         n_var = variants.shape[0]
@@ -219,8 +226,10 @@ def main(args):
         if ok:
             logging.info('Aligned layout: %d variants -> %d slots', n_var,
                          L)
+            from vilma_tpu.ops import blocks as blocks_mod
+            spill = blocks_mod.FactorSpill() if args.mmap else None
             combined_ld = [alignment.relayout_ld(ld, layout_map, L,
-                                                 dtype=dtype)
+                                                 dtype=dtype, spill=spill)
                            for ld in combined_ld]
             betas = alignment.relayout_rows(betas, layout_map, L, fill=0.0)
             std_errs = alignment.relayout_rows(std_errs, layout_map, L,
@@ -261,15 +270,19 @@ def main(args):
     if args.profile:
         jax.profiler.stop_trace()
 
+    # every rank must run these (they all-gather sharded arrays in
+    # multi-host runs); only the file writes belong to rank 0
     to_save = elbo.create_dump_dict(state)
     to_save['vi_sigma'] = elbo.vi_sigma
+    posterior_means = elbo.real_posterior_mean(state)
+    posterior_vars = elbo.real_posterior_variance(state)
     if jax.process_index() != 0:
         return      # multi-host: rank 0 owns the output files
     np.savez(args.output, **to_save)
 
-    for name, posterior in zip(names, elbo.real_posterior_mean(state)):
+    for name, posterior in zip(names, posterior_means):
         variants['posterior_' + name] = posterior
-    for name, pmv in zip(names, elbo.real_posterior_variance(state)):
+    for name, pmv in zip(names, posterior_vars):
         variants['posterior_variance_' + name] = pmv
     if args.annotations:
         variants['missing_annotation'] = missing_annot

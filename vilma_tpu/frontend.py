@@ -3,8 +3,9 @@
 Exposes the same four subcommands as the reference CLI (reference
 frontend.py:14-20) with the shared --logfile/--verbose flags every
 subcommand accepts (reference frontend.py:49-62). Subcommand modules are
-registered by name and imported lazily so `vilma-tpu <cmd> --help` never
-pays for the other commands' imports.
+registered by name; building the parser imports each one for its args()
+builder (argparse needs every subparser up front), while the heavy
+numerical imports live inside the commands' main() bodies.
 """
 import logging
 import sys

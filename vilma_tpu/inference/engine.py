@@ -611,9 +611,8 @@ def build_model_data(marginal_effects, std_errs, ld_mats, annotations,
     ld_diags, chi_stat, adj, inverse_betas = _precompute_stats(
         ld_tuple, marginal, use_std_errs_j, gwas_N, init_hg, real_mask)
 
-    from vilma_tpu.parallel.distributed import host_fetch
-    ld_diags_np = host_fetch(ld_diags)
-    if not np.allclose(host_fetch(adj)[np.isclose(ld_diags_np, 0)], 0):
+    ld_diags_np = _fetch(ld_diags)
+    if not np.allclose(_fetch(adj)[np.isclose(ld_diags_np, 0)], 0):
         raise ValueError('Some SNPs that are missing in the LD matrix '
                          'are not being treated as missing.')
 

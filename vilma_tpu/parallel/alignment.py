@@ -26,38 +26,44 @@ from vilma_tpu.ops import blocks as blocks_mod
 from vilma_tpu.ops import lowrank
 
 
-def _block_ranges(ld):
-    """Extract (start, stop, kept_indices, factor) per block from a
-    PackedLD. Blocks may have HOLES (variants inside the genomic window
-    that this cohort dropped — denylisted, mismatched, or missing
-    sumstats): only ascending order and pairwise-disjoint [min, max+1)
-    intervals are required. Returns None when intervals interleave (an
-    arbitrary extract-file ordering), in which case alignment is
-    skipped."""
+def _block_intervals(ld):
+    """Per-block (start, stop, kept_indices, bucket_idx, block_idx) for a
+    PackedLD, sorted by start. Blocks may have HOLES (variants inside the
+    genomic window that this cohort dropped — denylisted, mismatched, or
+    missing sumstats): only ascending order and pairwise-disjoint
+    [min, max+1) intervals are required. Returns None when intervals
+    interleave (an arbitrary extract-file ordering), in which case
+    alignment is skipped. Touches only the (small) perm arrays, never the
+    factor payloads."""
     out = []
-    for bk in ld.buckets:
+    for bi, bk in enumerate(ld.buckets):
         perm = np.asarray(bk.perm)
-        u = np.asarray(bk.u)
-        s = np.asarray(bk.s)
-        d = np.asarray(bk.d)
         for b in range(perm.shape[0]):
             ix = perm[b][perm[b] < ld.n]
             if ix.size == 0:
                 continue
             if ix.size > 1 and not np.all(np.diff(ix) > 0):
                 return None
-            r = int(np.sum(np.abs(u[b]).sum(axis=0) > 0))
-            r = max(r, 1)
-            f = lowrank.LowRankFactor(
-                u=np.ascontiguousarray(u[b, :ix.size, :r]),
-                s=s[b, :r].copy(), d=d[b, :ix.size].copy(),
-                rank=int(np.sum(s[b, :r] > 0)) if s[b, :r].size else 0)
-            out.append((int(ix[0]), int(ix[-1]) + 1, ix.copy(), f))
+            out.append((int(ix[0]), int(ix[-1]) + 1, ix.copy(), bi, b))
     out.sort(key=lambda t: t[0])
-    for (a0, b0, _, _), (a1, _, _, _) in zip(out, out[1:]):
+    for (a0, b0, _, _, _), (a1, _, _, _, _) in zip(out, out[1:]):
         if a1 < b0:
             return None        # interleaved intervals
     return out
+
+
+def _block_factor(ld, bucket_idx, block_idx, num_rows):
+    """Extract one block's factor (one payload slice at a time, so
+    spill-backed loads never materialize more than a block in RAM)."""
+    bk = ld.buckets[bucket_idx]
+    u = np.asarray(bk.u[block_idx])
+    s = np.asarray(bk.s[block_idx])
+    d = np.asarray(bk.d[block_idx])
+    r = max(int(np.sum(np.abs(u).sum(axis=0) > 0)), 1)
+    return lowrank.LowRankFactor(
+        u=np.ascontiguousarray(u[:num_rows, :r]),
+        s=s[:r].copy(), d=d[:num_rows].copy(),
+        rank=int(np.sum(s[:r] > 0)) if s[:r].size else 0)
 
 
 def compute_layout(lds, n):
@@ -66,13 +72,11 @@ def compute_layout(lds, n):
     Returns (layout_map [n] int32, L, ok). ok=False when any cohort has
     non-contiguous blocks (caller should skip alignment)."""
     boundaries = {0, n}
-    ranges_per_ld = []
     for ld in lds:
-        ranges = _block_ranges(ld)
+        ranges = _block_intervals(ld)
         if ranges is None:
             return None, None, False
-        ranges_per_ld.append(ranges)
-        for a, b, _, _ in ranges:
+        for a, b, _, _, _ in ranges:
             boundaries.add(a)
             boundaries.add(b)
     cuts = np.array(sorted(boundaries), dtype=np.int64)
@@ -85,13 +89,20 @@ def compute_layout(lds, n):
     return layout_map, pos, True
 
 
-def relayout_ld(ld, layout_map, L, dtype=None):
-    """Rebuild a PackedLD in layout coordinates (zero rows at pads)."""
+def relayout_ld(ld, layout_map, L, dtype=None, spill=None):
+    """Rebuild a PackedLD in layout coordinates (zero rows at pads).
+
+    spill: optional blocks.FactorSpill — relayouted factor payloads then
+    stage through disk (one block in RAM at a time) and the repacked
+    bucket tensors assemble into disk-backed memmaps, preserving
+    --mmap's bounded-host-RAM contract through the relayout."""
     if dtype is None:
-        dtype = np.asarray(ld.buckets[0].u).dtype if ld.buckets else np.float64
-    ranges = _block_ranges(ld)
+        dtype = np.asarray(ld.buckets[0].u[:1]).dtype if ld.buckets \
+            else np.float64
+    ranges = _block_intervals(ld)
     factors, indices = [], []
-    for a, b, ix, f in ranges:
+    for a, b, ix, bucket_idx, block_idx in ranges:
+        f = _block_factor(ld, bucket_idx, block_idx, ix.size)
         # the factor's kept rows scatter to their layout slots; holes
         # (dropped variants inside the window) and pads stay zero rows,
         # which is exactly the "missing for this cohort" semantics
@@ -104,11 +115,14 @@ def relayout_ld(ld, layout_map, L, dtype=None):
         rel = new_ix - span_start
         u_span[rel] = f.u
         d_span[rel] = f.d
-        factors.append(lowrank.LowRankFactor(u=u_span, s=f.s, d=d_span,
-                                             rank=f.rank))
+        factor = lowrank.LowRankFactor(u=u_span, s=f.s, d=d_span,
+                                       rank=f.rank)
+        if spill is not None:
+            factor = spill.store(factor)
+        factors.append(factor)
         indices.append(np.arange(span_start, span_start + span_len,
                                  dtype=np.int32))
-    out = blocks_mod.pack(factors, indices, L, dtype=dtype)
+    out = blocks_mod.pack(factors, indices, L, dtype=dtype, spill=spill)
     if not out.row_aligned:
         raise AssertionError('aligned relayout failed to produce a '
                              'row-aligned PackedLD')

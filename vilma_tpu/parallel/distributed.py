@@ -191,7 +191,12 @@ def load_ld_sharded(schema_path, variants, denylist, ldthresh,
 
 
 def initialize(coordinator_address=None):
-    """Initialize jax.distributed (idempotent)."""
+    """Initialize jax.distributed (idempotent).
+
+    Only the already-initialized case is tolerated; real coordinator
+    failures propagate — swallowing them would silently degrade a
+    multi-host launch into N independent full-problem fits that all
+    believe they are rank 0."""
     try:
         if coordinator_address:
             jax.distributed.initialize(
@@ -199,5 +204,6 @@ def initialize(coordinator_address=None):
         else:
             jax.distributed.initialize()
     except RuntimeError as err:
-        logging.info('jax.distributed already initialized or unavailable: '
-                     '%s', err)
+        if 'already' not in str(err).lower():
+            raise
+        logging.info('jax.distributed already initialized: %s', err)

@@ -32,9 +32,9 @@ def make_mesh(n_snp=None, n_comp=1, devices=None):
         # process-major order: a contiguous slice of the snp axis then
         # maps to one process's devices, which is what the multi-host
         # loader's per-process block ownership assumes
-        # (parallel/distributed.py)
-        devices = sorted(jax.devices(),
-                         key=lambda d: (d.process_index, d.id))
+        from vilma_tpu.parallel.distributed import \
+            process_contiguous_devices
+        devices = process_contiguous_devices()
     if n_snp is None:
         n_snp = len(devices) // n_comp
     devices = np.asarray(devices[:n_comp * n_snp]).reshape(n_comp, n_snp)
