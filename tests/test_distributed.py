@@ -141,3 +141,76 @@ def test_two_process_fit_matches_single_process(tmp_path):
         outs.append((proc.returncode, out, err))
     for rc, out, err in outs:
         assert rc == 0 and 'OK' in out, (rc, out, err[-3000:])
+
+
+def _write_sumstats(tmp_path, variants, seed=2):
+    rng = np.random.default_rng(seed)
+    n = variants.shape[0]
+    se = rng.uniform(0.02, 0.08, n)
+    frame = variants.copy()
+    frame['BETA'] = rng.standard_normal(n) * se * 2
+    frame['SE'] = se
+    path = str(tmp_path / f'sumstats{seed}.tsv')
+    frame.to_csv(path, sep='\t', index=False)
+    return path
+
+
+@pytest.mark.slow
+def test_cli_two_process_fit(tmp_path):
+    """End-to-end `vilma-tpu fit --distributed` on a manual 2-process
+    cluster: rank 0's output files must match the single-process CLI."""
+    schema = _build_schema(tmp_path, sizes=[64] * 8)
+    variants = pd.read_csv(schema + '.extract', sep='\t')
+    ss1 = _write_sumstats(tmp_path, variants, seed=2)
+    ss2 = _write_sumstats(tmp_path, variants, seed=3)
+
+    env = dict(os.environ)
+    env['PYTHONPATH'] = (os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))) + os.pathsep + env.get('PYTHONPATH',
+                                                           ''))
+    env['JAX_PLATFORMS'] = 'cpu'
+    env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=4'
+
+    def fit_args(output, extra):
+        return ([sys.executable, '-m', 'vilma_tpu.frontend', 'fit',
+                 '--ld-schema', ','.join([schema, schema]),
+                 '--sumstats', ','.join([ss1, ss2]),
+                 '--extract', schema + '.extract',
+                 '-K', '3', '--num-its', '12', '--seed', '11',
+                 '--stderrscale', '1.0,1.0',
+                 '--samplesizes', '100e3,100e3',
+                 '--init-hg', '0.1,0.1',
+                 '--output', output] + extra)
+
+    # single-process golden
+    single_out = str(tmp_path / 'single_run')
+    assert subprocess.run(fit_args(single_out, []), env=env,
+                          capture_output=True, timeout=600).returncode == 0
+
+    port = _free_port()
+    dist_out = str(tmp_path / 'dist_run')
+    procs = [subprocess.Popen(
+        fit_args(dist_out, ['--distributed',
+                            '--coordinator', f'localhost:{port}',
+                            '--num-processes', '2',
+                            '--process-id', str(pid),
+                            '--mesh', 'snp=8']),
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for pid in range(2)]
+    for proc in procs:
+        try:
+            out, err = proc.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            out, err = proc.communicate()
+        assert proc.returncode == 0, (out, err[-3000:])
+
+    single = pd.read_csv(single_out + '.estimates.tsv', sep='\t')
+    dist = pd.read_csv(dist_out + '.estimates.tsv', sep='\t')
+    assert list(single.columns) == list(dist.columns)
+    for col in single.columns:
+        if single[col].dtype.kind in 'fc':
+            assert np.allclose(single[col], dist[col], rtol=1e-7,
+                               atol=1e-10), col
+        else:
+            assert (single[col] == dist[col]).all(), col

@@ -94,7 +94,20 @@ def args(super_parser):
                              'device execution.')
     parser.add_argument('--distributed', action='store_true',
                         help='Initialize jax.distributed for multi-host '
-                             'execution before building the mesh.')
+                             'execution before building the mesh. '
+                             'Auto-detects TPU-pod/SLURM/OMPI clusters; '
+                             'for manual launches also pass '
+                             '--coordinator/--num-processes/'
+                             '--process-id.')
+    parser.add_argument('--coordinator', type=str, default='',
+                        help='coordinator host:port for --distributed '
+                             '(defaults to cluster auto-detection).')
+    parser.add_argument('--num-processes', type=int, default=None,
+                        help='total process count for --distributed '
+                             'manual launches.')
+    parser.add_argument('--process-id', type=int, default=None,
+                        help='this process\'s rank for --distributed '
+                             'manual launches.')
     parser.add_argument('--profile', type=str, default='',
                         help='Write a jax profiler trace of the '
                              'optimization to this directory '
@@ -155,7 +168,8 @@ def main(args):
     import jax
     if args.distributed:
         from vilma_tpu.parallel import distributed
-        distributed.initialize()
+        distributed.initialize(args.coordinator or None,
+                               args.num_processes, args.process_id)
     mesh = None
     if args.mesh:
         from vilma_tpu.parallel import mesh as mesh_mod

@@ -190,19 +190,26 @@ def load_ld_sharded(schema_path, variants, denylist, ldthresh,
     return packed, list(missing)
 
 
-def initialize(coordinator_address=None):
+def initialize(coordinator_address=None, num_processes=None,
+               process_id=None):
     """Initialize jax.distributed (idempotent).
 
-    Only the already-initialized case is tolerated; real coordinator
-    failures propagate — swallowing them would silently degrade a
-    multi-host launch into N independent full-problem fits that all
-    believe they are rank 0."""
+    With no arguments, jax auto-detects the cluster (TPU pods, SLURM,
+    OMPI, JAX_COORDINATOR_ADDRESS); explicit values support manual
+    launches (fit --distributed --coordinator host:port
+    --num-processes N --process-id i). Only the already-initialized case
+    is tolerated; real coordinator failures propagate — swallowing them
+    would silently degrade a multi-host launch into N independent
+    full-problem fits that all believe they are rank 0."""
+    kwargs = {}
+    if coordinator_address:
+        kwargs['coordinator_address'] = coordinator_address
+    if num_processes is not None:
+        kwargs['num_processes'] = num_processes
+    if process_id is not None:
+        kwargs['process_id'] = process_id
     try:
-        if coordinator_address:
-            jax.distributed.initialize(
-                coordinator_address=coordinator_address)
-        else:
-            jax.distributed.initialize()
+        jax.distributed.initialize(**kwargs)
     except RuntimeError as err:
         if 'already' not in str(err).lower():
             raise
