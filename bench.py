@@ -36,6 +36,15 @@ RANK_FRAC = 0.5
 N_STEPS = 5
 
 
+def _ld_u_dtype():
+    # BENCH_LD_DTYPE=bf16 stores the LD eigenvector tensors in bfloat16
+    # (halves the dominant HBM traffic; see fit --ld-precision)
+    if os.environ.get('BENCH_LD_DTYPE') == 'bf16':
+        import ml_dtypes
+        return ml_dtypes.bfloat16
+    return None
+
+
 def _cached_ld(dtype):
     from vilma_tpu.ops import blocks, lowrank
 
@@ -49,7 +58,8 @@ def _cached_ld(dtype):
                                          rank=int(z[f'r{i}']))
                    for i in range(nb)]
         indices = [z[f'ix{i}'] for i in range(nb)]
-        return blocks.pack(factors, indices, NUM_LOCI, dtype=dtype)
+        return blocks.pack(factors, indices, NUM_LOCI, dtype=dtype,
+                           u_dtype=_ld_u_dtype())
 
     rng = np.random.default_rng(0)
     factors, indices = [], []
@@ -74,7 +84,8 @@ def _cached_ld(dtype):
                         f'r{i}': f.rank, f'ix{i}': ix})
     np.savez(path, **payload)
     from vilma_tpu.ops import blocks
-    return blocks.pack(factors, indices, NUM_LOCI, dtype=dtype)
+    return blocks.pack(factors, indices, NUM_LOCI, dtype=dtype,
+                       u_dtype=_ld_u_dtype())
 
 
 def _build(dtype, device):

@@ -1,0 +1,84 @@
+"""bf16 LD storage (`fit --ld-precision bf16`): correctness bounds.
+
+The eigenvector tensors dominate HBM traffic and capacity ~400x over
+everything else in a block; storing them in bfloat16 halves both. The
+accuracy argument: bf16 rounding is ~0.4% relative per element, far
+below LD reference-panel sampling noise (~1-5% per correlation entry for
+typical panel sizes), and all contractions still accumulate in f32 via
+jax type promotion. These tests pin (1) the operator error of the bf16
+matvec against the f64 operator and (2) statistical equivalence of a
+full fit (posterior means within a fraction of the posterior SD).
+"""
+import ml_dtypes
+import numpy as np
+import pytest
+
+from vilma_tpu.inference import engine
+from vilma_tpu.ops import blocks, lowrank
+from vilma_tpu.utils import synthetic
+
+
+def _factors(sizes, seed=0):
+    rng = np.random.default_rng(seed)
+    factors, indices = [], []
+    start = 0
+    for n in sizes:
+        idx = np.abs(np.subtract.outer(np.arange(n), np.arange(n)))
+        rho = rng.uniform(0.3, 0.9)
+        factors.append(lowrank.factor_block(X=rho ** idx, t=1.0,
+                                            check_symmetric=False))
+        indices.append(np.arange(start, start + n))
+        start += n
+    return factors, indices, start
+
+
+def test_bf16_matvec_operator_error():
+    factors, indices, n = _factors([64, 128, 64])
+    ld64 = blocks.pack(factors, indices, n)
+    ldbf = blocks.pack(factors, indices, n, dtype=np.float32,
+                       u_dtype=ml_dtypes.bfloat16)
+    for bk in ldbf.buckets:
+        assert str(np.asarray(bk.u[:1]).dtype) == 'bfloat16'
+        assert np.asarray(bk.s).dtype == np.float32
+    x = np.random.default_rng(1).standard_normal(n).astype(np.float32)
+    y64 = np.asarray(blocks.dot(ld64, x.astype(np.float64)))
+    ybf = np.asarray(blocks.dot(ldbf, x))
+    assert ybf.dtype == np.float32        # accumulation stays f32
+    scale = np.abs(y64).max()
+    # two bf16-rounded U applications -> ~1% worst-case operator error
+    assert np.max(np.abs(ybf - y64)) <= 2e-2 * scale
+
+
+def test_bf16_engine_statistical_equivalence():
+    """25 iterations at 2K SNPs: posterior means from bf16-stored LD stay
+    within half a posterior SD of the f64 fit (the same criterion the
+    f32 drift test uses; bf16 LD error is operator noise well below the
+    posterior uncertainty)."""
+    def run(u_dtype, dtype):
+        factors, indices, n = _factors([256] * 8, seed=3)
+        ld = blocks.pack(factors, indices, n, dtype=dtype,
+                         u_dtype=u_dtype)
+        rng = np.random.default_rng(4)
+        std_errs = rng.uniform(0.01, 0.05, (2, n))
+        betas = rng.standard_normal((2, n)) * std_errs * 2
+        covs = [np.eye(2) * s for s in (1e-6, 1e-4, 1e-2)]
+        annotations = np.ones((n, 1))
+        data = engine.build_model_data(
+            betas.astype(dtype), std_errs.astype(dtype), [ld, ld],
+            annotations, covs, scaled=False, scale_se=False,
+            gwas_N=np.full(2, 1e5), init_hg=np.full(2, 0.3), dtype=dtype)
+        st = synthetic.synthetic_state(data)
+        for _ in range(25):
+            st, _ = engine.outer_step(data, st, line_search_rate=2.0)
+        post = np.asarray(engine.posterior_mean(st.vi_mu, st.vi_delta))
+        pmv = np.asarray(engine.posterior_marginal_variance(
+            engine.posterior_mean(st.vi_mu, st.vi_delta), st.vi_mu,
+            st.vi_delta, st.sigma))
+        return post, pmv
+
+    post64, pmv64 = run(None, np.float64)
+    postbf, _ = run(ml_dtypes.bfloat16, np.float32)
+    sd = np.sqrt(np.maximum(pmv64, 0))
+    rel = np.abs(postbf - post64) / np.maximum(sd, 1e-12)
+    assert np.quantile(rel, 0.999) <= 1.0
+    assert np.max(rel) <= 3.0

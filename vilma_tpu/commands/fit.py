@@ -86,6 +86,14 @@ def args(super_parser):
                         help='Numerical precision of the solver. f64 '
                              'matches the reference bit-for-bit tolerance '
                              '(CPU); f32 is the fast path on TPU.')
+    parser.add_argument('--ld-precision', type=str, default='auto',
+                        choices=['auto', 'f32', 'bf16'],
+                        help='Storage precision of the LD eigenvector '
+                             'tensors (the dominant HBM traffic and '
+                             'capacity). bf16 halves both; its ~0.4%% '
+                             'rounding is far below LD panel sampling '
+                             'noise, and contractions still accumulate '
+                             'in f32. auto follows --precision.')
     parser.add_argument('--mesh', type=str, default='',
                         help='Shard the fit over a device mesh, e.g. '
                              '"snp=8" or "comp=2,snp=4". Axes: snp '
@@ -161,6 +169,12 @@ def main(args):
     init_hg = np.array(list(map(float, args.init_hg.split(','))))
 
     dtype = np.float64 if args.precision == 'f64' else np.float32
+    u_dtype = None
+    if args.ld_precision == 'bf16':
+        import ml_dtypes
+        u_dtype = ml_dtypes.bfloat16
+    elif args.ld_precision == 'f32':
+        u_dtype = np.float32
 
     # multi-host runs initialize the cluster and build the global mesh
     # BEFORE loading, so each process loads/eigendecomposes only its own
@@ -196,11 +210,12 @@ def main(args):
             ld_mat, this_missing_ld = distributed.load_ld_sharded(
                 ld_schema_path, variants=variants, denylist=missing,
                 ldthresh=args.ldthresh, mmap=args.mmap, dtype=dtype,
-                mesh=mesh)
+                mesh=mesh, u_dtype=u_dtype)
         else:
             ld_mat, this_missing_ld = load.load_ld_from_schema(
                 ld_schema_path, variants=variants, denylist=missing,
-                ldthresh=args.ldthresh, mmap=args.mmap, dtype=dtype)
+                ldthresh=args.ldthresh, mmap=args.mmap, dtype=dtype,
+                u_dtype=u_dtype)
         combined_ld.append(ld_mat)
         missing_ld_info[this_missing_ld, idx] = True
 
@@ -243,7 +258,8 @@ def main(args):
             from vilma_tpu.ops import blocks as blocks_mod
             spill = blocks_mod.FactorSpill() if args.mmap else None
             combined_ld = [alignment.relayout_ld(ld, layout_map, L,
-                                                 dtype=dtype, spill=spill)
+                                                 dtype=dtype, spill=spill,
+                                                 u_dtype=u_dtype)
                            for ld in combined_ld]
             betas = alignment.relayout_rows(betas, layout_map, L, fill=0.0)
             std_errs = alignment.relayout_rows(std_errs, layout_map, L,

@@ -284,7 +284,8 @@ def _log_schema_summary(n, num_missing, total_flipped):
 
 
 def load_ld_from_schema(schema_path, variants, denylist, ldthresh,
-                        mmap=False, dtype=np.float64, spill_dir=None):
+                        mmap=False, dtype=np.float64, spill_dir=None,
+                        u_dtype=None):
     """Load a block LD matrix from a schema, matched to `variants`
     (reference load.py:237-354).
 
@@ -312,7 +313,7 @@ def load_ld_from_schema(schema_path, variants, denylist, ldthresh,
 
     n = variants.shape[0]
     packed = blocks_mod.pack(factors, block_indices, n, dtype=dtype,
-                             spill=spill)
+                             spill=spill, u_dtype=u_dtype)
     list_of_missing = list(packed.missing)
     _log_schema_summary(n, len(list_of_missing), total_flipped)
     return packed, list_of_missing

@@ -242,7 +242,8 @@ class FactorSpill:
                                          dtype=dtype)
 
 
-def pack(factors, block_indices, n, dtype=np.float64, spill=None):
+def pack(factors, block_indices, n, dtype=np.float64, spill=None,
+         u_dtype=None):
     """Pack per-block factors into a PackedLD.
 
     Args:
@@ -256,7 +257,14 @@ def pack(factors, block_indices, n, dtype=np.float64, spill=None):
         spill: optional FactorSpill; when given, the dominant u bucket
             tensors are assembled into disk-backed memmaps (kept as numpy
             leaves in the pytree) instead of host RAM + device arrays.
+        u_dtype: optional storage type for the eigenvector tensors alone
+            (e.g. ml_dtypes.bfloat16): u dominates HBM traffic and
+            capacity ~400x over s/d, and its ~0.4% bf16 rounding is far
+            inside LD panel sampling noise; contractions accumulate in
+            f32 via jax type promotion. Defaults to `dtype`.
     """
+    if u_dtype is None:
+        u_dtype = dtype
     if len(factors) != len(block_indices):
         raise ValueError('factors and block_indices must align')
     covered = (np.concatenate([np.asarray(ix) for ix in block_indices])
@@ -304,10 +312,10 @@ def pack(factors, block_indices, n, dtype=np.float64, spill=None):
             row_aligned = False
             rpb = 1
         if spill is not None:
-            u = spill.bucket_array((B, pmax, rmax), dtype)
+            u = spill.bucket_array((B, pmax, rmax), u_dtype)
             u[:] = 0.0
         else:
-            u = np.zeros((B, pmax, rmax), dtype=dtype)
+            u = np.zeros((B, pmax, rmax), dtype=u_dtype)
         s = np.zeros((B, rmax), dtype=dtype)
         inv_s = np.zeros((B, rmax), dtype=dtype)
         d = np.zeros((B, pmax), dtype=dtype)
@@ -398,6 +406,15 @@ def _bucket_dot(bk, xb):
         from vilma_tpu.ops.pallas import block_matvec as pk
         if pk.supported(bk.pmax, bk.rmax, bk.u.dtype):
             return pk.bucket_matvec(bk.u, bk.s, bk.d, xb)
+    if bk.u.dtype == jnp.bfloat16:
+        # feed the MXU bf16 operands with f32 accumulation directly: a
+        # plain einsum would type-promote u to f32 first, materializing a
+        # full-size converted copy and forfeiting the traffic saving
+        t = jnp.einsum('bpr,bp->br', bk.u, xb.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32) * bk.s
+        return (jnp.einsum('bpr,br->bp', bk.u, t.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+                + bk.d * xb)
     t = jnp.einsum('bpr,bp->br', bk.u, xb) * bk.s             # [B, R]
     return jnp.einsum('bpr,br->bp', bk.u, t) + bk.d * xb
 

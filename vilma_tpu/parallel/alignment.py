@@ -89,7 +89,8 @@ def compute_layout(lds, n):
     return layout_map, pos, True
 
 
-def relayout_ld(ld, layout_map, L, dtype=None, spill=None):
+def relayout_ld(ld, layout_map, L, dtype=None, spill=None,
+                u_dtype=None):
     """Rebuild a PackedLD in layout coordinates (zero rows at pads).
 
     spill: optional blocks.FactorSpill — relayouted factor payloads then
@@ -122,7 +123,8 @@ def relayout_ld(ld, layout_map, L, dtype=None, spill=None):
         factors.append(factor)
         indices.append(np.arange(span_start, span_start + span_len,
                                  dtype=np.int32))
-    out = blocks_mod.pack(factors, indices, L, dtype=dtype, spill=spill)
+    out = blocks_mod.pack(factors, indices, L, dtype=dtype, spill=spill,
+                          u_dtype=u_dtype)
     if not out.row_aligned:
         raise AssertionError('aligned relayout failed to produce a '
                              'row-aligned PackedLD')

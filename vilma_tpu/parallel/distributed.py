@@ -74,7 +74,7 @@ def _allgather_np(values):
 
 def load_ld_sharded(schema_path, variants, denylist, ldthresh,
                     dtype=np.float64, mmap=False, mesh=None,
-                    axis='snp'):
+                    axis='snp', u_dtype=None):
     """Load an LD schema with per-process block ownership (see module
     docstring). Returns (PackedLD with globally-sharded buckets, list of
     variant positions missing LD info).
@@ -84,10 +84,13 @@ def load_ld_sharded(schema_path, variants, denylist, ldthresh,
     missing set, and factorization thresholds — with the work and the
     memory of the factor tensors distributed across processes.
     """
+    if u_dtype is None:
+        u_dtype = dtype
     if jax.process_count() == 1 and mesh is None:
         return load_mod.load_ld_from_schema(schema_path, variants,
                                             denylist, ldthresh,
-                                            mmap=mmap, dtype=dtype)
+                                            mmap=mmap, dtype=dtype,
+                                            u_dtype=u_dtype)
     if mesh is None:
         raise ValueError('multi-process loads need the global device mesh')
 
@@ -149,7 +152,7 @@ def load_ld_sharded(schema_path, variants, denylist, ldthresh,
     for (pmax, B_pad, lo, hi, positions), rmax in zip(shard_info,
                                                       bucket_rmax):
         B_local = hi - lo
-        u = np.zeros((B_local, pmax, rmax), dtype=dtype)
+        u = np.zeros((B_local, pmax, rmax), dtype=u_dtype)
         s = np.zeros((B_local, rmax), dtype=dtype)
         inv_s = np.zeros((B_local, rmax), dtype=dtype)
         d = np.zeros((B_local, pmax), dtype=dtype)
