@@ -24,7 +24,11 @@ CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 # BENCH_SIZE=1m selects the genome-scale configuration; BENCH_PALLAS=1
 # enables the fused Pallas block-matvec kernel on TPU.
-if os.environ.get('BENCH_SIZE', '100k') == '1m':
+_SIZE = os.environ.get('BENCH_SIZE', '100k')
+if _SIZE == '6m':
+    NUM_LOCI = 6_000_000
+    METRIC = 'vi_iterations_per_s_6m_snp_2pop_K18'
+elif _SIZE == '1m':
     NUM_LOCI = 1_000_000
     METRIC = 'vi_iterations_per_s_1m_snp_2pop_K18'
 else:
@@ -45,8 +49,91 @@ def _ld_u_dtype():
     return None
 
 
+def _packed_tag(dtype):
+    u_dtype = _ld_u_dtype() or np.dtype(dtype)
+    return (f'packed_{NUM_LOCI}_{BLOCK_SIZE}_{RANK_FRAC}_'
+            f'{np.dtype(dtype).name}_{np.dtype(u_dtype).name}')
+
+
+def _save_packed(ld, dirpath):
+    """Persist a PackedLD as raw per-bucket .npy files + metadata, so the
+    next run mmaps the dominant u tensors straight from the page cache
+    into the device transfer instead of re-reading and re-packing the 4x
+    larger f64 factor archive (at 1M SNPs: ~17 min -> seconds)."""
+    import json
+    import dataclasses as dc
+    os.makedirs(dirpath, exist_ok=True)
+    for i, bk in enumerate(ld.buckets):
+        for f in dc.fields(bk):
+            arr = np.asarray(getattr(bk, f.name))
+            if arr.dtype.name == 'bfloat16':  # np.save can't roundtrip
+                arr = arr.view(np.uint16)
+            np.save(os.path.join(dirpath, f'b{i}_{f.name}.npy'), arr)
+    meta = {'num_buckets': len(ld.buckets), 'n': ld.n,
+            'has_diag': ld.has_diag, 'rank': ld.rank,
+            'missing': list(ld.missing), 'row_aligned': ld.row_aligned,
+            'u_bf16': any(np.asarray(bk.u).dtype.name == 'bfloat16'
+                          for bk in ld.buckets)}
+    with open(os.path.join(dirpath, 'meta.json'), 'w') as f:
+        json.dump(meta, f)
+
+
+def _load_packed(dirpath):
+    import json
+    from vilma_tpu.ops import blocks
+    with open(os.path.join(dirpath, 'meta.json')) as f:
+        meta = json.load(f)
+    buckets = []
+    for i in range(meta['num_buckets']):
+        def arr(name):
+            return np.load(os.path.join(dirpath, f'b{i}_{name}.npy'),
+                           mmap_mode='r')
+        u = arr('u')
+        if meta['u_bf16']:
+            import ml_dtypes
+            u = u.view(ml_dtypes.bfloat16)
+        # u stays a disk-backed numpy leaf (device transfer streams it);
+        # the small arrays go to the default device now
+        import jax.numpy as jnp
+        buckets.append(blocks.BlockBucket(
+            u=u, s=jnp.asarray(arr('s')), inv_s=jnp.asarray(arr('inv_s')),
+            d=jnp.asarray(arr('d')), perm=jnp.asarray(arr('perm')),
+            grows=jnp.asarray(arr('grows')),
+            srows=jnp.asarray(arr('srows')),
+            seq=jnp.asarray(arr('seq'))))
+    return blocks.PackedLD(buckets=tuple(buckets), n=meta['n'],
+                           inverted=False, has_diag=meta['has_diag'],
+                           rank=meta['rank'],
+                           missing=tuple(meta['missing']),
+                           row_aligned=meta['row_aligned'])
+
+
+def _gen_factors(rng_seed=0):
+    """Generate the synthetic per-block factors (one-time eigh cost)."""
+    from vilma_tpu.ops import lowrank
+    rng = np.random.default_rng(rng_seed)
+    start = 0
+    while start < NUM_LOCI:
+        n = min(BLOCK_SIZE, NUM_LOCI - start)
+        rho = rng.uniform(0.3, 0.95)
+        idx = np.abs(np.subtract.outer(np.arange(n), np.arange(n)))
+        f = lowrank.factor_block(X=rho ** idx, t=1.0,
+                                 check_symmetric=False)
+        r = max(1, int(f.r * RANK_FRAC))
+        order = np.argsort(f.s)[::-1][:r]
+        yield (lowrank.LowRankFactor(
+            u=np.ascontiguousarray(f.u[:, order]),
+            s=f.s[order], d=f.d, rank=int(r)),
+            np.arange(start, start + n))
+        start += n
+
+
 def _cached_ld(dtype):
     from vilma_tpu.ops import blocks, lowrank
+
+    packed_dir = os.path.join(CACHE_DIR, _packed_tag(dtype))
+    if os.path.exists(os.path.join(packed_dir, 'meta.json')):
+        return _load_packed(packed_dir)
 
     tag = f'ld_{NUM_LOCI}_{BLOCK_SIZE}_{RANK_FRAC}'
     path = os.path.join(CACHE_DIR, tag + '.npz')
@@ -58,34 +145,28 @@ def _cached_ld(dtype):
                                          rank=int(z[f'r{i}']))
                    for i in range(nb)]
         indices = [z[f'ix{i}'] for i in range(nb)]
-        return blocks.pack(factors, indices, NUM_LOCI, dtype=dtype,
-                           u_dtype=_ld_u_dtype())
+        ld = blocks.pack(factors, indices, NUM_LOCI, dtype=dtype,
+                         u_dtype=_ld_u_dtype())
+        _save_packed(ld, packed_dir)
+        return ld
 
-    rng = np.random.default_rng(0)
     factors, indices = [], []
-    start = 0
-    while start < NUM_LOCI:
-        n = min(BLOCK_SIZE, NUM_LOCI - start)
-        rho = rng.uniform(0.3, 0.95)
-        idx = np.abs(np.subtract.outer(np.arange(n), np.arange(n)))
-        f = lowrank.factor_block(X=rho ** idx, t=1.0,
-                                 check_symmetric=False)
-        r = max(1, int(f.r * RANK_FRAC))
-        order = np.argsort(f.s)[::-1][:r]
-        f = lowrank.LowRankFactor(u=np.ascontiguousarray(f.u[:, order]),
-                                  s=f.s[order], d=f.d, rank=int(r))
+    for f, ix in _gen_factors():
         factors.append(f)
-        indices.append(np.arange(start, start + n))
-        start += n
+        indices.append(ix)
     os.makedirs(CACHE_DIR, exist_ok=True)
-    payload = {'num_blocks': len(factors)}
-    for i, (f, ix) in enumerate(zip(factors, indices)):
-        payload.update({f'u{i}': f.u, f's{i}': f.s, f'd{i}': f.d,
-                        f'r{i}': f.rank, f'ix{i}': ix})
-    np.savez(path, **payload)
-    from vilma_tpu.ops import blocks
-    return blocks.pack(factors, indices, NUM_LOCI, dtype=dtype,
-                       u_dtype=_ld_u_dtype())
+    if NUM_LOCI <= 1_000_000:
+        # keep the f64 factor archive for re-packing at other dtypes;
+        # at 6M SNPs it would be ~24 GB, so only the packed form is kept
+        payload = {'num_blocks': len(factors)}
+        for i, (f, ix) in enumerate(zip(factors, indices)):
+            payload.update({f'u{i}': f.u, f's{i}': f.s, f'd{i}': f.d,
+                            f'r{i}': f.rank, f'ix{i}': ix})
+        np.savez(path, **payload)
+    ld = blocks.pack(factors, indices, NUM_LOCI, dtype=dtype,
+                     u_dtype=_ld_u_dtype())
+    _save_packed(ld, packed_dir)
+    return ld
 
 
 def _build(dtype, device):

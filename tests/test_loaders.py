@@ -122,3 +122,82 @@ def test_load_missing():
     sumstats, missing = load.load_sumstats(
         p('good_sumstats_beta_plus_missing.tsv'), variants)
     assert set(missing) == {10, 11, 12, 14}
+
+
+def _count_factorizations(monkeypatch):
+    """Instrument the eigendecomposition entry point with a call counter."""
+    from vilma_tpu.ops import lowrank
+    calls = []
+    real = lowrank.factor_block
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(load.lowrank, 'factor_block', counting)
+    return calls
+
+
+def test_factor_cache_hit_and_equivalence(tmp_path, monkeypatch):
+    variants = load.load_variant_list(p('good_variants.tsv'))
+    calls = _count_factorizations(monkeypatch)
+    cache = str(tmp_path / 'cache')
+
+    plain, _ = load.load_ld_from_schema(p('ld_manifest.tsv'), variants,
+                                        [], 1., False)
+    n_blocks = len(calls)
+    assert n_blocks > 0
+
+    calls.clear()
+    cold, _ = load.load_ld_from_schema(p('ld_manifest.tsv'), variants,
+                                       [], 1., False, cache_dir=cache)
+    assert len(calls) == n_blocks  # cold: every block factorized + stored
+
+    calls.clear()
+    warm, _ = load.load_ld_from_schema(p('ld_manifest.tsv'), variants,
+                                       [], 1., False, cache_dir=cache)
+    assert len(calls) == 0  # warm: all blocks served from the cache
+
+    v = np.random.default_rng(0).random(13)
+    expect = np.asarray(plain.dot(v))
+    assert np.array_equal(np.asarray(cold.dot(v)), expect)
+    assert np.array_equal(np.asarray(warm.dot(v)), expect)
+
+
+def test_factor_cache_keys_invalidate(tmp_path, monkeypatch):
+    variants = load.load_variant_list(p('good_variants.tsv'))
+    calls = _count_factorizations(monkeypatch)
+    cache = str(tmp_path / 'cache')
+
+    load.load_ld_from_schema(p('ld_manifest.tsv'), variants, [], 1.,
+                             False, cache_dir=cache)
+    n_blocks = len(calls)
+
+    # a different threshold must miss (key includes ldthresh)
+    calls.clear()
+    load.load_ld_from_schema(p('ld_manifest.tsv'), variants, [], 0.5,
+                             False, cache_dir=cache)
+    assert len(calls) == n_blocks
+
+    # a different variant match must miss (key includes kept rows)
+    calls.clear()
+    load.load_ld_from_schema(p('ld_manifest.tsv'), variants, [3, 4, 5],
+                             1., False, cache_dir=cache)
+    assert len(calls) > 0
+
+
+def test_factor_cache_ignores_corrupt_entry(tmp_path, monkeypatch):
+    variants = load.load_variant_list(p('good_variants.tsv'))
+    cache = tmp_path / 'cache'
+    plain, _ = load.load_ld_from_schema(p('ld_manifest.tsv'), variants,
+                                        [], 1., False,
+                                        cache_dir=str(cache))
+    entries = sorted(cache.glob('*.npz'))
+    assert entries
+    entries[0].write_bytes(b'not an npz')
+
+    again, _ = load.load_ld_from_schema(p('ld_manifest.tsv'), variants,
+                                        [], 1., False,
+                                        cache_dir=str(cache))
+    v = np.random.default_rng(0).random(13)
+    assert np.array_equal(np.asarray(again.dot(v)), np.asarray(plain.dot(v)))

@@ -59,6 +59,14 @@ def args(super_parser):
                              'RAM at whole-genome schema scale; packed '
                              'blocks are then streamed to device memory '
                              'for compute.')
+    parser.add_argument('--factor-cache', type=str, default='',
+                        help='Directory memoizing per-block LD '
+                             'eigendecompositions on disk (keyed by '
+                             'matrix file identity, threshold, and the '
+                             'exact variant match). Refits of the same '
+                             'LD panel skip the dominant O(n^3) load '
+                             'cost; changed blocks re-factorize '
+                             'automatically.')
     parser.add_argument('--learn-scaling', dest='scale_se',
                         action='store_true',
                         help='Learn a scaling factor for the standard '
@@ -210,12 +218,13 @@ def main(args):
             ld_mat, this_missing_ld = distributed.load_ld_sharded(
                 ld_schema_path, variants=variants, denylist=missing,
                 ldthresh=args.ldthresh, mmap=args.mmap, dtype=dtype,
-                mesh=mesh, u_dtype=u_dtype)
+                mesh=mesh, u_dtype=u_dtype,
+                cache_dir=args.factor_cache or None)
         else:
             ld_mat, this_missing_ld = load.load_ld_from_schema(
                 ld_schema_path, variants=variants, denylist=missing,
                 ldthresh=args.ldthresh, mmap=args.mmap, dtype=dtype,
-                u_dtype=u_dtype)
+                u_dtype=u_dtype, cache_dir=args.factor_cache or None)
         combined_ld.append(ld_mat)
         missing_ld_info[this_missing_ld, idx] = True
 

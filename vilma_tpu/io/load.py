@@ -251,13 +251,76 @@ def matched_schema_entries(schema_path, variants, denylist):
         }
 
 
-def load_entry_factor(entry, ldthresh):
+def load_entry_factor(entry, ldthresh, cache_dir=None):
     """Load one matched entry's .npy and eigendecompose it — the
-    expensive per-block O(n^3) step."""
+    expensive per-block O(n^3) step.
+
+    With `cache_dir`, the factorization is memoized on disk keyed by the
+    .npy file identity (path, size, mtime), the threshold, and the exact
+    variant match (kept rows, mismatches, flip signs) — so refitting the
+    same LD panel (e.g. new sumstats, new hyperparameters, a resumed or
+    multi-trait study) skips every eigendecomposition whose inputs are
+    unchanged, while any change to the matched rows invalidates only the
+    affected blocks.
+    """
+    key = _factor_cache_key(entry, ldthresh) if cache_dir else None
+    if key is not None:
+        cached = _factor_cache_get(cache_dir, key)
+        if cached is not None:
+            return cached
     accepted = load_ld_mat(entry['ld_path'], entry['variant_indices'],
                            entry['mismatch'], entry['signs'])
-    return lowrank.factor_block(X=accepted, t=ldthresh,
-                                check_symmetric=False)
+    factor = lowrank.factor_block(X=accepted, t=ldthresh,
+                                  check_symmetric=False)
+    if key is not None:
+        _factor_cache_put(cache_dir, key, factor)
+    return factor
+
+
+def _factor_cache_key(entry, ldthresh):
+    import hashlib
+    import os
+    st = os.stat(entry['ld_path'])
+    h = hashlib.sha256()
+    h.update(os.path.realpath(entry['ld_path']).encode())
+    h.update(np.array([st.st_size, st.st_mtime_ns], dtype=np.int64))
+    h.update(np.float64(ldthresh))
+    h.update(np.ascontiguousarray(entry['variant_indices'], dtype=bool))
+    h.update(np.ascontiguousarray(entry['mismatch'], dtype=bool))
+    h.update(np.ascontiguousarray(entry['signs'], dtype=np.float64))
+    return h.hexdigest()
+
+
+def _factor_cache_get(cache_dir, key):
+    path = Path(cache_dir) / (key + '.npz')
+    if not path.exists():
+        return None
+    try:
+        z = np.load(path)
+        return lowrank.LowRankFactor(u=z['u'], s=z['s'], d=z['d'],
+                                     rank=int(z['rank']))
+    except Exception:
+        logging.warning('Ignoring unreadable factor-cache entry %s', path)
+        return None
+
+
+def _factor_cache_put(cache_dir, key, factor):
+    import os
+    import tempfile
+    path = Path(cache_dir)
+    path.mkdir(parents=True, exist_ok=True)
+    # atomic publish: concurrent fits sharing a cache see either nothing
+    # or a complete entry, never a torn file
+    fd, tmp = tempfile.mkstemp(dir=path, suffix='.tmp')
+    try:
+        with os.fdopen(fd, 'wb') as f:
+            np.savez(f, u=factor.u, s=factor.s, d=factor.d,
+                     rank=factor.rank)
+        os.replace(tmp, path / (key + '.npz'))
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
 
 
 def consume_mmap_rng_draws():
@@ -285,7 +348,7 @@ def _log_schema_summary(n, num_missing, total_flipped):
 
 def load_ld_from_schema(schema_path, variants, denylist, ldthresh,
                         mmap=False, dtype=np.float64, spill_dir=None,
-                        u_dtype=None):
+                        u_dtype=None, cache_dir=None):
     """Load a block LD matrix from a schema, matched to `variants`
     (reference load.py:237-354).
 
@@ -303,7 +366,7 @@ def load_ld_from_schema(schema_path, variants, denylist, ldthresh,
     spill = blocks_mod.FactorSpill(spill_dir) if mmap else None
     for entry in matched_schema_entries(schema_path, variants, denylist):
         total_flipped += entry['num_flipped']
-        factor = load_entry_factor(entry, ldthresh)
+        factor = load_entry_factor(entry, ldthresh, cache_dir=cache_dir)
         if spill is not None:
             factor = spill.store(factor)
         factors.append(factor)

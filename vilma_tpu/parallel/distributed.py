@@ -74,7 +74,7 @@ def _allgather_np(values):
 
 def load_ld_sharded(schema_path, variants, denylist, ldthresh,
                     dtype=np.float64, mmap=False, mesh=None,
-                    axis='snp', u_dtype=None):
+                    axis='snp', u_dtype=None, cache_dir=None):
     """Load an LD schema with per-process block ownership (see module
     docstring). Returns (PackedLD with globally-sharded buckets, list of
     variant positions missing LD info).
@@ -90,7 +90,8 @@ def load_ld_sharded(schema_path, variants, denylist, ldthresh,
         return load_mod.load_ld_from_schema(schema_path, variants,
                                             denylist, ldthresh,
                                             mmap=mmap, dtype=dtype,
-                                            u_dtype=u_dtype)
+                                            u_dtype=u_dtype,
+                                            cache_dir=cache_dir)
     if mesh is None:
         raise ValueError('multi-process loads need the global device mesh')
 
@@ -133,7 +134,7 @@ def load_ld_sharded(schema_path, variants, denylist, ldthresh,
         for b in range(lo, min(hi, len(positions))):
             entry = entries[positions[b]]
             local_factors[positions[b]] = load_mod.load_entry_factor(
-                entry, ldthresh)
+                entry, ldthresh, cache_dir=cache_dir)
 
     # -- phase 3: global rank agreement (one tiny allgather) --------------
     local_rmax = np.array([
