@@ -129,11 +129,28 @@ def _gen_factors(rng_seed=0):
 
 
 def _cached_ld(dtype):
+    import dataclasses as dc
     from vilma_tpu.ops import blocks, lowrank
 
     packed_dir = os.path.join(CACHE_DIR, _packed_tag(dtype))
     if os.path.exists(os.path.join(packed_dir, 'meta.json')):
         return _load_packed(packed_dir)
+
+    if _ld_u_dtype() is not None:
+        # derive the bf16 packed form by casting an existing full-precision
+        # packed cache (2 GB cast) instead of re-reading + re-packing the
+        # 4x larger f64 factor archive (~19 min at 1M SNPs)
+        base_dir = os.path.join(
+            CACHE_DIR, f'packed_{NUM_LOCI}_{BLOCK_SIZE}_{RANK_FRAC}_'
+            f'{np.dtype(dtype).name}_{np.dtype(dtype).name}')
+        if os.path.exists(os.path.join(base_dir, 'meta.json')):
+            base = _load_packed(base_dir)
+            u_dtype = _ld_u_dtype()
+            ld = dc.replace(base, buckets=tuple(
+                dc.replace(bk, u=np.asarray(bk.u).astype(u_dtype))
+                for bk in base.buckets))
+            _save_packed(ld, packed_dir)
+            return ld
 
     tag = f'ld_{NUM_LOCI}_{BLOCK_SIZE}_{RANK_FRAC}'
     path = os.path.join(CACHE_DIR, tag + '.npz')
@@ -191,6 +208,11 @@ def _build(dtype, device):
         annotations = np.zeros((NUM_LOCI, 4))
         annotations[np.arange(NUM_LOCI),
                     rng.integers(0, 4, NUM_LOCI)] = 1
+    # move the packed LD to the target device first, then run the
+    # precompute jit (ridge solves, block matvecs) THERE rather than on
+    # the 4-core host (at 1M SNPs: 153 s host CPU -> seconds on TPU)
+    ld = jax.device_put(ld, device)
+    with jax.default_device(device):
         data = engine.build_model_data(
             betas.astype(dtype), std_errs.astype(dtype), [ld, ld],
             annotations, covs, scaled=False, scale_se=False,
@@ -230,6 +252,10 @@ def accel_main():
     """Accelerator leg, run in a subprocess so a hung remote compile
     cannot take down the whole benchmark."""
     import jax
+    # the production fast path stores LD eigenvectors in bf16
+    # (fit --ld-precision bf16; accuracy bounds in tests/test_bf16_ld.py);
+    # BENCH_LD_DTYPE=f32 opts back out
+    os.environ.setdefault('BENCH_LD_DTYPE', 'bf16')
     _enable_compile_cache()
     jax.config.update('jax_enable_x64', True)
     accel = [d for d in jax.devices() if d.platform != 'cpu'][0]

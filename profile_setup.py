@@ -1,10 +1,14 @@
-"""One-off: decompose the 1M-SNP bench setup cost (pack + transfer).
+"""One-off: decompose the genome-scale bench setup cost.
 
-Stages timed: .npz factor-cache load, blocks.pack, build_model_data on
-host CPU, jax.device_put to the TPU, first on-device scalar fetch.
-Run: PYTHONPATH=/root/repo BENCH_SIZE=1m python profile_setup.py
+Stages timed (mirrors bench._build): packed-LD cache load, synthetic
+sumstats, LD host->device transfer, on-device build_model_data
+(precompute jit), synthetic_state. Each stage ends with a scalar fetch
+so transfer/compute time bills to the right stage (block_until_ready
+does not synchronize through the remote-TPU tunnel).
+
+Run: PYTHONPATH=/root/repo:$PYTHONPATH BENCH_SIZE=1m python profile_setup.py
+(append, never overwrite, PYTHONPATH — see .claude/skills/verify/SKILL.md)
 """
-import os
 import time
 
 import numpy as np
@@ -17,15 +21,18 @@ def main():
     bench._enable_compile_cache()
     jax.config.update('jax_enable_x64', True)
     accel = [d for d in jax.devices() if d.platform != 'cpu'][0]
+    t0 = time.perf_counter()
+    float(jax.device_put(np.ones(8), accel)[0])
+    t1 = time.perf_counter()
+    print(f'device init: {t1 - t0:.1f}s', flush=True)
 
     from vilma_tpu.inference import engine
     from vilma_tpu.utils import synthetic
 
-    t0 = time.perf_counter()
     with jax.default_device(jax.devices('cpu')[0]):
         ld = bench._cached_ld(np.float32)
-        t1 = time.perf_counter()
-        print(f'npz load + pack: {t1 - t0:.1f}s', flush=True)
+        t2 = time.perf_counter()
+        print(f'packed-LD cache load: {t2 - t1:.1f}s', flush=True)
 
         rng = np.random.default_rng(1)
         P = 2
@@ -42,29 +49,28 @@ def main():
             covs.append(scales[k] * (corr * np.outer(d, d)))
         annotations = np.zeros((N, 4))
         annotations[np.arange(N), rng.integers(0, 4, N)] = 1
-        t2 = time.perf_counter()
-        print(f'synthetic sumstats: {t2 - t1:.1f}s', flush=True)
+        t3 = time.perf_counter()
+        print(f'synthetic sumstats: {t3 - t2:.1f}s', flush=True)
 
+    ld = jax.device_put(ld, accel)
+    for bk in ld.buckets:
+        float(bk.u[0, 0, 0].astype(np.float32))
+    t4 = time.perf_counter()
+    print(f'LD transfer: {t4 - t3:.1f}s', flush=True)
+
+    with jax.default_device(accel):
         data = engine.build_model_data(
             betas.astype(np.float32), std_errs.astype(np.float32),
             [ld, ld], annotations, covs, scaled=False, scale_se=False,
             gwas_N=np.full(P, 1e5), init_hg=np.full(P, 0.3),
             dtype=np.float32)
-        t3 = time.perf_counter()
-        print(f'build_model_data (CPU): {t3 - t2:.1f}s', flush=True)
+        float(data.inverse_betas[0, 0])
+        t5 = time.perf_counter()
+        print(f'build_model_data (on device): {t5 - t4:.1f}s', flush=True)
         state = synthetic.synthetic_state(data)
-        t4 = time.perf_counter()
-        print(f'synthetic_state: {t4 - t3:.1f}s', flush=True)
-
-    data = jax.device_put(data, accel)
-    state = jax.device_put(state, accel)
-    t5 = time.perf_counter()
-    print(f'device_put dispatch: {t5 - t4:.1f}s', flush=True)
-    # force completion of the transfer with a scalar fetch per leaf class
-    float(np.asarray(data.ld[0].buckets[0].u)[0, 0, 0])
-    float(np.asarray(state.vi_mu)[0, 0, 0])
-    t6 = time.perf_counter()
-    print(f'transfer completion: {t6 - t5:.1f}s', flush=True)
+        float(state.vi_mu[0, 0, 0])
+        t6 = time.perf_counter()
+        print(f'synthetic_state: {t6 - t5:.1f}s', flush=True)
     print(f'TOTAL: {t6 - t0:.1f}s', flush=True)
 
 
