@@ -7,6 +7,7 @@ full MultiPopVI fit under the global mesh, and compare the posterior
 means against the single-process golden the parent computed.
 
 Usage: distributed_worker.py <pid> <nproc> <port> <schema> <expected.npy>
+       [devices_per_process]
 """
 import os
 import sys
@@ -15,10 +16,12 @@ import sys
 def main():
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
     schema, expected_path = sys.argv[4], sys.argv[5]
+    n_dev = int(sys.argv[6]) if len(sys.argv) > 6 else 4
 
     os.environ['JAX_PLATFORMS'] = 'cpu'
-    os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '')
-                               + ' --xla_force_host_platform_device_count=4')
+    os.environ['XLA_FLAGS'] = (
+        os.environ.get('XLA_FLAGS', '')
+        + f' --xla_force_host_platform_device_count={n_dev}')
     import jax
     # the environment may pin jax_platforms to a TPU plugin, overriding
     # JAX_PLATFORMS (see tests/conftest.py) — force CPU before any backend

@@ -90,9 +90,9 @@ def _free_port():
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_fit_matches_single_process(tmp_path):
-    """2-process jax.distributed CPU cluster == single-process fit."""
+def _cluster_fit_matches_single_process(tmp_path, nproc, ndev):
+    """nproc-process jax.distributed CPU cluster (ndev simulated devices
+    each) == single-process fit."""
     # 8 blocks, 512 SNPs: divisible by the 8-device global mesh
     schema = _build_schema(tmp_path, sizes=[64] * 8)
     variants = pd.read_csv(schema + '.extract', sep='\t')
@@ -127,10 +127,10 @@ def test_two_process_fit_matches_single_process(tmp_path):
     # workers configure their own XLA_FLAGS/JAX_PLATFORMS
     env.pop('XLA_FLAGS', None)
     procs = [subprocess.Popen(
-        [sys.executable, worker, str(pid), '2', str(port), schema,
-         expected_path],
+        [sys.executable, worker, str(pid), str(nproc), str(port), schema,
+         expected_path, str(ndev)],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-        text=True) for pid in range(2)]
+        text=True) for pid in range(nproc)]
     outs = []
     for proc in procs:
         try:
@@ -141,6 +141,18 @@ def test_two_process_fit_matches_single_process(tmp_path):
         outs.append((proc.returncode, out, err))
     for rc, out, err in outs:
         assert rc == 0 and 'OK' in out, (rc, out, err[-3000:])
+
+
+@pytest.mark.slow
+def test_two_process_fit_matches_single_process(tmp_path):
+    _cluster_fit_matches_single_process(tmp_path, nproc=2, ndev=4)
+
+
+@pytest.mark.slow
+def test_four_process_fit_matches_single_process(tmp_path):
+    """The north-star host count (BASELINE.json: 1 -> 4 hosts): four
+    processes, two simulated devices each, one 8-way global snp mesh."""
+    _cluster_fit_matches_single_process(tmp_path, nproc=4, ndev=2)
 
 
 def _write_sumstats(tmp_path, variants, seed=2):
