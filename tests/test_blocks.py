@@ -168,6 +168,30 @@ def test_ridge_inverse_dot_truncated():
     assert np.allclose(got, expect, atol=1e-8)
 
 
+def test_ridge_inverse_dot_chunked_solve(monkeypatch):
+    """The genome-scale chunked Woodbury solve (bounded [C,R,R] temps)
+    must be bitwise-equivalent to the single-chunk form: per-block
+    results are independent, so chunk boundaries change nothing."""
+    rng = np.random.default_rng(21)
+    # one bucket of many same-size blocks, so chunking actually splits it
+    ld, dense, missing = _make_packed(rng, [6] * 11)
+    n = dense.shape[0]
+    v = rng.standard_normal(n)
+    reg = rng.uniform(0.1, 1.0, size=n)
+    whole = np.asarray(blocks.ridge_inverse_dot(ld, v, reg))
+    # force ~3-block chunks (rmax is small, so elems // r^2 covers 3)
+    rmax = max(bk.rmax for bk in ld.buckets)
+    monkeypatch.setattr(blocks, '_WOODBURY_CHUNK_ELEMS', 3 * rmax * rmax)
+    chunked = np.asarray(blocks.ridge_inverse_dot(ld, v, reg))
+    assert np.array_equal(whole, chunked)
+
+    live = np.setdiff1d(np.arange(n), missing)
+    expect = np.zeros(n)
+    sub = dense[np.ix_(live, live)] + np.diag(reg[live])
+    expect[live] = np.linalg.solve(sub, v[live])
+    assert np.allclose(chunked, expect, atol=1e-8)
+
+
 def test_matrix_power():
     # unpermuted matrix (missing at the end): powers match dense powers
     rng = np.random.default_rng(12)

@@ -580,20 +580,61 @@ def ridge_inverse_dot(ld, vector, regularizer):
         dp = bk.d + r_ext[bk.perm]                             # [B, P]
         x_over_d = xb / dp
         ut_xd = jnp.einsum('bpr,bp->br', bk.u, x_over_d)       # [B, R]
-        # small = diag(inv_s) + u.T @ diag(1/dp) @ u, with identity rows in
-        # padded rank slots (u columns there are zero) so the solve is
-        # well-posed and yields zeros there.
-        gram = jnp.einsum('bpr,bp,bpq->brq', bk.u, 1.0 / dp, bk.u)
-        rmax = bk.rmax
-        eye = jnp.eye(rmax, dtype=vector.dtype)
-        col_active = (jnp.abs(bk.u).sum(axis=1) > 0)           # [B, R]
-        small = gram + bk.inv_s[:, :, None] * eye
-        small = small + (~col_active)[:, :, None] * eye
-        mid = jnp.linalg.solve(small, ut_xd[..., None])[..., 0]
+        mid = _woodbury_mid(bk, 1.0 / dp, ut_xd, vector.dtype)
         corr = jnp.einsum('bpr,br->bp', bk.u, mid) / dp
         yb = x_over_d - corr
         parts.append((bk.perm, yb))
     return _scatter_accumulate(parts, ld.n, vector.dtype)
+
+
+def _woodbury_mid(bk, inv_dp, ut_xd, dtype):
+    """solve(diag(inv_s) + u.T @ diag(inv_dp) @ u, ut_xd) per block.
+
+    Identity rows are substituted in padded rank slots (their u columns
+    are zero) so the solve is well-posed and yields zeros there.
+
+    The [B, R, R] gram + LU temporaries dominate peak HBM at genome
+    scale (a 6M-SNP bucket of 5859 512-wide blocks needs 2 x 5.7 GB,
+    which alone overflows a 16 GB chip), so blocks are processed in
+    fixed-size chunks under lax.map: per-block results are independent,
+    making the chunked computation numerically identical while peak
+    temp memory stays ~0.5 GB. One-time setup cost; not the hot path.
+    """
+    B, rmax = ut_xd.shape
+    eye = jnp.eye(rmax, dtype=dtype)
+
+    def solve_chunk(args):
+        u_c, inv_dp_c, inv_s_c, ut_xd_c = args
+        gram = jnp.einsum('cpr,cp,cpq->crq', u_c, inv_dp_c, u_c)
+        col_active = jnp.abs(u_c).sum(axis=1) > 0              # [C, R]
+        small = gram + inv_s_c[:, :, None] * eye
+        small = small + (~col_active)[:, :, None] * eye
+        return jnp.linalg.solve(small, ut_xd_c[..., None])[..., 0]
+
+    chunk = max(1, min(B, _WOODBURY_CHUNK_ELEMS // (rmax * rmax)))
+    if chunk >= B:
+        return solve_chunk((bk.u, inv_dp, bk.inv_s, ut_xd))
+    n_chunks = -(-B // chunk)
+
+    # dynamic slices of the ORIGINAL tensors (padding to a chunk
+    # multiple would materialize a second copy of the multi-GB u): the
+    # last chunk's start is clamped, so it overlaps the previous one —
+    # overlapped blocks are recomputed with identical values and the
+    # overlapping update writes them back unchanged.
+    def body(i, mid):
+        start = jnp.minimum(i * chunk, B - chunk)
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, start, chunk, 0)
+        mid_c = solve_chunk((sl(bk.u), sl(inv_dp), sl(bk.inv_s),
+                             sl(ut_xd)))
+        return jax.lax.dynamic_update_slice_in_dim(mid, mid_c, start, 0)
+
+    return jax.lax.fori_loop(
+        0, n_chunks, body, jnp.zeros((B, rmax), dtype=dtype))
+
+
+# bounds the chunked Woodbury solve's [C, R, R] f32 temporaries to
+# ~0.5 GB (C * R * R elements)
+_WOODBURY_CHUNK_ELEMS = 2 ** 27
 
 
 def diag(ld):
