@@ -268,9 +268,14 @@ def accel_main():
 
 def _run_accel_subprocess(timeout_s=None):
     if timeout_s is None:
-        # the 1M config spends ~25 min in host-side pack + tunnel
-        # transfer before a single step runs
-        timeout_s = 2900 if NUM_LOCI >= 1_000_000 else 1500
+        # genome-scale configs spend minutes in tunnel transfer and
+        # one-time remote jit compiles before a single step runs
+        # (~48 min was observed for the cold 6M leg)
+        timeout_s = 1500
+        if NUM_LOCI >= 1_000_000:
+            timeout_s = 2900
+        if NUM_LOCI >= 6_000_000:
+            timeout_s = 5400
     import subprocess
     import sys
     env = dict(os.environ)
@@ -283,8 +288,13 @@ def _run_accel_subprocess(timeout_s=None):
         for line in out.stdout.splitlines():
             if line.startswith('ACCEL_IPS'):
                 return float(line.split()[1])
+        # make a failed accelerator leg loud: the JSON line would
+        # otherwise silently fall back to the CPU baseline value
+        print('ACCEL LEG FAILED (no ACCEL_IPS in output); stderr tail:',
+              file=sys.stderr)
+        print(out.stderr[-2000:], file=sys.stderr)
     except subprocess.TimeoutExpired:
-        pass
+        print(f'ACCEL LEG TIMED OUT after {timeout_s}s', file=sys.stderr)
     return None
 
 

@@ -9,6 +9,7 @@ does not synchronize through the remote-TPU tunnel).
 Run: PYTHONPATH=/root/repo:$PYTHONPATH BENCH_SIZE=1m python profile_setup.py
 (append, never overwrite, PYTHONPATH — see .claude/skills/verify/SKILL.md)
 """
+import os
 import time
 
 import numpy as np
@@ -71,7 +72,23 @@ def main():
         float(state.vi_mu[0, 0, 0])
         t6 = time.perf_counter()
         print(f'synthetic_state: {t6 - t5:.1f}s', flush=True)
-    print(f'TOTAL: {t6 - t0:.1f}s', flush=True)
+    print(f'SETUP TOTAL: {t6 - t0:.1f}s', flush=True)
+
+    if os.environ.get('PROFILE_STEP'):
+        import jax as _jax
+        step = _jax.jit(lambda d, s: engine.outer_step_impl(
+            d, s, line_search_rate=2.0)[0])
+        state2 = step(data, state)
+        float(state2.elbo)
+        t7 = time.perf_counter()
+        print(f'first outer_step (compile+run): {t7 - t6:.1f}s',
+              flush=True)
+        for i in range(3):
+            ta = time.perf_counter()
+            state2 = step(data, state2)
+            float(state2.elbo)
+            print(f'outer_step: {time.perf_counter() - ta:.3f}s',
+                  flush=True)
 
 
 if __name__ == '__main__':
