@@ -183,6 +183,24 @@ def test_outer_step_monotone():
         prev = cur
 
 
+def test_outer_step_donated_matches():
+    # the production optimize loop steps through the buffer-donating jit;
+    # it must produce the same trajectory as the non-donating step (and
+    # the donated input must actually be consumed on backends that
+    # support donation)
+    np.random.seed(42)
+    scheme = make_scheme()
+    st = scheme._initialize()
+    import jax
+    ref, pm_ref = engine.outer_step(
+        scheme.data, jax.tree.map(lambda x: x, st), line_search_rate=2.0)
+    out, pm_out = engine.outer_step_donated(scheme.data, st,
+                                            line_search_rate=2.0)
+    assert np.array_equal(np.asarray(pm_ref), np.asarray(pm_out))
+    assert np.array_equal(np.asarray(ref.vi_mu), np.asarray(out.vi_mu))
+    assert np.array_equal(np.asarray(ref.vi_delta), np.asarray(out.vi_delta))
+
+
 def test_l_cap_keeps_old_params():
     # with L so large the first step is accepted immediately and params
     # barely move (reference tests/test.py:1499-1514)

@@ -426,6 +426,15 @@ def outer_step_impl(data, st, line_search_rate=2.0):
 outer_step = partial(jax.jit, static_argnames=('line_search_rate',))(
     outer_step_impl)
 
+# Donating variant for the production optimize loop: the previous
+# iteration's state buffers are dead the moment the step returns, and at
+# genome scale (6M SNPs) each [K,P,I] buffer is ~0.9 GB — donating the
+# state keeps peak HBM flat instead of double-buffered. Callers that
+# re-read the input state after stepping must use `outer_step` instead.
+outer_step_donated = partial(
+    jax.jit, static_argnames=('line_search_rate',),
+    donate_argnums=(1,))(outer_step_impl)
+
 
 # ---------------------------------------------------------------------------
 # Initialization (reference MultiPopVI._initialize,
@@ -901,8 +910,8 @@ class MultiPopVI:
                     np.savez(fname, **dump)
                 ckp_post_mean = _fetch(_scaled_posterior_mean(
                     st.vi_mu, st.vi_delta, self.data.scalings))
-            st, new_post_mean = outer_step(self.data, st,
-                                           line_search_rate=2.0)
+            st, new_post_mean = outer_step_donated(self.data, st,
+                                                   line_search_rate=2.0)
             num_err = int(st.num_err)
             if num_err > prev_err:
                 raise RuntimeError('Encountered a numerical error.')
