@@ -672,6 +672,34 @@ _make_summaries_jit = jax.jit(
 
 _vi_delta_grad_jit = jax.jit(kernels.fast_vi_delta_grad)
 
+
+@jax.jit
+def _conv_stats(new_pm, old_pm, ckp_pm, num_err, elbo, red, error_scaling):
+    """Per-iteration convergence/telemetry scalars, computed on device.
+
+    The reference fetches the full posterior-mean matrix to the host each
+    iteration to run np.allclose + logging (variational_inference.py:
+    374-380, 292-331). At genome scale that is a [P,I] device->host
+    transfer (~16 MB at 1M SNPs) per iteration — on tunneled/remote TPUs
+    it costs more than the iteration itself. All the optimize loop
+    actually consumes are these scalars, so reduce on device and fetch
+    one tiny vector (a single host round-trip per iteration)."""
+    eps = epsilon(new_pm.dtype)
+    diff = jnp.abs(new_pm - old_pm)
+    # np.allclose(new, old, atol=ABS_TOL, rtol=REL_TOL) semantics
+    allclose = jnp.all(diff <= ABS_TOL + REL_TOL * jnp.abs(old_pm))
+    head = jnp.stack([
+        num_err.astype(new_pm.dtype),
+        jnp.asarray(elbo, dtype=new_pm.dtype),
+        jnp.asarray(red, dtype=new_pm.dtype),
+        allclose.astype(new_pm.dtype),
+        jnp.max(jnp.abs(new_pm)),
+        jnp.max(jnp.abs(diff / (old_pm + eps))),
+        jnp.max(diff),
+        jnp.sqrt(jnp.mean((new_pm - ckp_pm) ** 2)),
+    ])
+    return jnp.concatenate([head, error_scaling.astype(new_pm.dtype)])
+
 _materialize_sigma_jit = jax.jit(
     lambda mixture_prec, scaled_ld_diags, error_scaling:
     sigma_mod.materialize_sigma(
@@ -898,8 +926,10 @@ class MultiPopVI:
                               st.vi_mu, st.vi_delta, st.hyper_delta))
         converged = False
         num_its = 0
-        post_mean = _fetch(_scaled_posterior_mean(st.vi_mu, st.vi_delta,
-                                                  self.data.scalings))
+        # the posterior-mean history stays on device; only the reduced
+        # convergence/telemetry scalars cross to the host each iteration
+        post_mean = _scaled_posterior_mean(st.vi_mu, st.vi_delta,
+                                           self.data.scalings)
         ckp_post_mean = post_mean
         prev_err = 0
         while num_its < self.num_its and not converged:
@@ -908,26 +938,27 @@ class MultiPopVI:
                 dump = self.create_dump_dict(st)
                 if jax.process_index() == 0:
                     np.savez(fname, **dump)
-                ckp_post_mean = _fetch(_scaled_posterior_mean(
-                    st.vi_mu, st.vi_delta, self.data.scalings))
+                ckp_post_mean = _scaled_posterior_mean(
+                    st.vi_mu, st.vi_delta, self.data.scalings)
             st, new_post_mean = outer_step_donated(self.data, st,
                                                    line_search_rate=2.0)
-            num_err = int(st.num_err)
+            stats = _fetch(_conv_stats(new_post_mean, post_mean,
+                                       ckp_post_mean, st.num_err, st.elbo,
+                                       st.running_elbo_delta,
+                                       st.error_scaling))
+            num_err = int(stats[0])
             if num_err > prev_err:
                 raise RuntimeError('Encountered a numerical error.')
             prev_err = num_err
-            new_post_mean = _fetch(new_post_mean)
-            red = float(st.running_elbo_delta)
+            red = float(stats[2])
 
-            converged = np.allclose(new_post_mean, post_mean, atol=ABS_TOL,
-                                    rtol=REL_TOL)
+            converged = bool(stats[3])
             converged = converged or np.isclose(red, 0, atol=ELBO_TOL,
                                                 rtol=0)
             if num_its < 10 and loaded_checkpoint is None:
                 converged = False
 
-            self._dump_info(num_its, new_post_mean, post_mean, ckp_post_mean,
-                            st)
+            self._dump_info(num_its, stats)
             post_mean = new_post_mean
             num_its += 1
 
@@ -937,20 +968,16 @@ class MultiPopVI:
         self.state = st
         return st
 
-    def _dump_info(self, num_its, new_post_mean, post_mean, ckp_post_mean,
-                   st):
-        eps = epsilon(new_post_mean.dtype)
+    def _dump_info(self, num_its, stats):
+        """Per-iteration telemetry (reference _dump_info,
+        variational_inference.py:292-331) from the on-device-reduced
+        stats vector of _conv_stats."""
         logging.info('Completed iteration %d', num_its + 1)
-        logging.info('ELBO = %f, running delta = %f', float(st.elbo),
-                     float(st.running_elbo_delta))
-        logging.info('Maximum posterior mean beta: %e',
-                     np.max(np.abs(new_post_mean)))
-        logging.info('SE scaling is: %r',
-                     _fetch(st.error_scaling))
-        logging.info('Max relative difference is: %e',
-                     np.max(np.abs((new_post_mean - post_mean)
-                                   / (post_mean + eps))))
-        logging.info('Max absolute difference is: %e',
-                     np.max(np.abs(new_post_mean - post_mean)))
+        logging.info('ELBO = %f, running delta = %f', float(stats[1]),
+                     float(stats[2]))
+        logging.info('Maximum posterior mean beta: %e', float(stats[4]))
+        logging.info('SE scaling is: %r', np.asarray(stats[8:]))
+        logging.info('Max relative difference is: %e', float(stats[5]))
+        logging.info('Max absolute difference is: %e', float(stats[6]))
         logging.info('RMSE difference (checkpoint iterations) is: %e',
-                     np.sqrt(np.mean((new_post_mean - ckp_post_mean) ** 2)))
+                     float(stats[7]))
