@@ -60,8 +60,8 @@ def numpy_elbo(scheme, st):
     """Independent numpy ELBO derivation (RSS likelihood + KL terms)."""
     data = scheme.data
     mu = np.asarray(st.vi_mu)
-    delta = np.asarray(st.vi_delta)
-    hyper = np.asarray(st.hyper_delta)
+    delta = np.asarray(st.vi_delta).T          # oracle keeps the
+    hyper = np.asarray(st.hyper_delta)         # reference's [I, K]
     esc = np.asarray(st.error_scaling)
     se = np.asarray(data.std_errs)
     dterm = np.asarray(data.scaled_ld_diags) / esc[:, None]
@@ -114,7 +114,7 @@ def test_init_state_properties():
     np.random.seed(42)
     scheme = make_scheme(num_annotations=2)
     st = scheme._initialize()
-    delta = np.asarray(st.vi_delta)
+    delta = np.asarray(st.vi_delta).T
     assert delta.shape == (50, 2)
     assert np.allclose(delta.sum(axis=1), 1)
     assert np.all(delta > 0)
@@ -223,7 +223,7 @@ def test_hyper_delta_update_closed_form():
     obj0 = engine.elbo_jit(scheme.data, st.sigma, st.error_scaling,
                            st.vi_mu, st.vi_delta, st.hyper_delta)
     st2, _, _, _, _ = engine._update_hyper_delta(scheme.data, st, obj0)
-    delta = np.asarray(st.vi_delta)
+    delta = np.asarray(st.vi_delta).T
     annot = np.asarray(scheme.data.annotations)
     counts = np.asarray(scheme.data.annotation_counts)
     expect = np.zeros((2, delta.shape[1]))

@@ -35,7 +35,7 @@ def test_single_component_mixture():
     np.random.seed(3)
     scheme = _scheme(num_pops=2, num_comps=1)
     st = scheme.optimize()
-    delta = np.asarray(st.vi_delta)
+    delta = np.asarray(st.vi_delta).T
     assert delta.shape == (24, 1)
     assert np.allclose(delta, 1.0)
     assert np.all(np.isfinite(scheme.real_posterior_mean(st)))

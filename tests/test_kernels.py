@@ -60,13 +60,13 @@ def test_fast_likelihood():
 def test_fast_posterior_mean_and_pmv():
     mu, delta = _mu(), _delta()
     mean = np.asarray(kernels.fast_posterior_mean(jnp.asarray(mu),
-                                                  jnp.asarray(delta)))
+                                                  jnp.asarray(delta.T)))
     expect = np.einsum('kpi,ik->pi', mu, delta)
     assert np.allclose(mean, expect)
 
     diag = RNG.uniform(0.1, 1, (K, P, I))
     pmv = np.asarray(kernels.fast_pmv(jnp.asarray(mean), jnp.asarray(mu),
-                                      jnp.asarray(delta),
+                                      jnp.asarray(delta.T),
                                       jnp.asarray(diag)))
     second = np.einsum('kpi,ik->pi', diag + mu ** 2, delta)
     assert np.allclose(pmv, second - mean ** 2)
@@ -75,7 +75,7 @@ def test_fast_posterior_mean_and_pmv():
 def test_fast_inner_product_comp():
     mu, delta, prec = _mu(), _delta(), _prec()
     got = float(kernels.fast_inner_product_comp(
-        jnp.asarray(mu), jnp.asarray(prec), jnp.asarray(delta)))
+        jnp.asarray(mu), jnp.asarray(prec), jnp.asarray(delta.T)))
     expect = 0.5 * np.einsum('kpi,kqi,kqp,ik->', mu, mu, prec, delta)
     assert np.allclose(got, expect)
 
@@ -83,7 +83,7 @@ def test_fast_inner_product_comp():
 def test_sum_annotations_and_delta_kl():
     delta = _delta()
     annot = RNG.integers(0, A, size=I)
-    got = np.asarray(kernels.sum_annotations(jnp.asarray(delta),
+    got = np.asarray(kernels.sum_annotations(jnp.asarray(delta.T),
                                              jnp.asarray(annot), A))
     expect = np.zeros((A, K))
     for i in range(I):
@@ -92,7 +92,8 @@ def test_sum_annotations_and_delta_kl():
 
     hyper = RNG.uniform(0.1, 1, (A, K))
     hyper /= hyper.sum(axis=1, keepdims=True)
-    kl = float(kernels.fast_delta_kl(jnp.asarray(delta), jnp.asarray(hyper),
+    kl = float(kernels.fast_delta_kl(jnp.asarray(delta.T),
+                                     jnp.asarray(hyper),
                                      jnp.asarray(annot)))
     expect_kl = sum((delta[i] * (np.log(delta[i])
                                  - np.log(hyper[annot[i]]))).sum()
@@ -106,7 +107,7 @@ def test_fast_vi_delta_grad():
     log_det = RNG.standard_normal(K)
     annot = RNG.integers(0, A, size=I)
     got = np.asarray(kernels.fast_vi_delta_grad(
-        jnp.asarray(hyper), jnp.asarray(log_det), jnp.asarray(annot)))
+        jnp.asarray(hyper), jnp.asarray(log_det), jnp.asarray(annot))).T
     expect = np.empty((I, K - 1))
     lh = np.log(hyper)
     ss = -0.5 * log_det
@@ -119,10 +120,10 @@ def test_fast_vi_delta_grad():
 
 def test_nat_cat_roundtrip():
     delta = _delta()
-    nat = np.asarray(kernels.map_to_nat_cat_2D(jnp.asarray(delta)))
+    nat = np.asarray(kernels.map_to_nat_cat_2D(jnp.asarray(delta.T))).T
     expect = np.log(delta[:, :-1]) - np.log(delta[:, -1:])
     assert np.allclose(nat, expect)
-    back = np.asarray(kernels.invert_nat_cat_2D(jnp.asarray(nat)))
+    back = np.asarray(kernels.invert_nat_cat_2D(jnp.asarray(nat.T))).T
     assert np.allclose(back, delta)
 
 
@@ -131,7 +132,7 @@ def test_fast_invert_nat_vi_delta():
     const = RNG.standard_normal((I, K))
     nat_vd = RNG.standard_normal((I, K - 1))
     got = np.asarray(kernels.fast_invert_nat_vi_delta(
-        *map(jnp.asarray, (new_mu, nat_mu, const, nat_vd))))
+        *map(jnp.asarray, (new_mu, nat_mu, const.T, nat_vd.T)))).T
     to_invert = np.empty((I, K - 1))
     for i in range(I):
         last = const[i, -1] + (new_mu[-1, :, i] * nat_mu[-1, :, i]).sum()
@@ -192,14 +193,14 @@ def test_sigma_closed_forms():
         diag = np.einsum('kppi->kpi', dense)
         assert np.allclose(np.asarray(summ.diag), diag)
         matches = np.einsum('kpq,kqpi->ik', prec, dense)
-        assert np.allclose(np.asarray(summ.matches), matches)
+        assert np.allclose(np.asarray(summ.matches), matches.T)
         assert np.allclose(np.asarray(summ.sigma_summary),
-                           log_det_prior[None, :] - lds.T + matches)
+                           (log_det_prior[None, :] - lds.T + matches).T)
 
         delta = RNG.uniform(0.1, 1, (I, K))
         ws = np.asarray(sigma_mod.sigma_weighted_sum(jnp.asarray(prec),
                                                      jnp.asarray(dterm),
-                                                     jnp.asarray(delta)))
+                                                     jnp.asarray(delta.T)))
         expect_ws = np.einsum('kpqi,ik->ipq', dense, delta)
         assert np.allclose(ws, expect_ws)
 

@@ -90,7 +90,7 @@ def test_initialization_matches():
     np.random.seed(123)
     st = mine._initialize()
     assert np.allclose(mu_r, np.asarray(st.vi_mu), atol=1e-10)
-    assert np.allclose(delta_r, np.asarray(st.vi_delta), atol=1e-12)
+    assert np.allclose(delta_r, np.asarray(st.vi_delta).T, atol=1e-12)
     assert np.allclose(hyper_r, np.asarray(st.hyper_delta), atol=1e-12)
     # ELBO of the identical state matches
     ref_elbo = ref.elbo((mu_r, delta_r, hyper_r))

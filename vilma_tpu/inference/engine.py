@@ -83,10 +83,12 @@ jax.tree_util.register_dataclass(
 class VIState:
     """All mutable optimization state, as one pytree."""
     vi_mu: jnp.ndarray            # [K, P, I]
-    vi_delta: jnp.ndarray         # [I, K]
+    vi_delta: jnp.ndarray         # [K, I] (K-major; the reference's
+    #   vi_delta is its [I, K] transpose — see kernels.fast_posterior_mean
+    #   for the TPU lane-padding rationale; .npz checkpoints keep [I, K])
     hyper_delta: jnp.ndarray      # [A, K]
     error_scaling: jnp.ndarray    # [P]
-    nat_grad_vi_delta: jnp.ndarray  # [I, K-1]
+    nat_grad_vi_delta: jnp.ndarray  # [K-1, I]
     sigma: sigma_mod.SigmaSummaries
     L: jnp.ndarray                # [3] per-paramset Lipschitz estimates
     elbo: jnp.ndarray             # scalar (tracked via deltas)
@@ -166,7 +168,7 @@ def beta_KL(data, sigma, vi_mu, vi_delta, hyper_delta):
                                        data.annotations)
     inner = kernels.fast_inner_product_comp(vi_mu, data.mixture_prec,
                                             vi_delta)
-    real = (data.annotations < data.num_annotations)[:, None]
+    real = (data.annotations < data.num_annotations)[None, :]
     fast_comp = 0.5 * jnp.sum(
         jnp.where(real, sigma.sigma_summary * vi_delta, 0.0))
     return delta_comp + inner + fast_comp
@@ -210,7 +212,7 @@ def nat_to_not_vi_delta(data, sigma, error_scaling, vi_mu,
     dterm = _diag_term(data, error_scaling)
     nat_mu = sigma_mod.apply_precision(data.mixture_prec, dterm, vi_mu)
     return kernels.fast_invert_nat_vi_delta(
-        vi_mu, nat_mu, sigma.log_det_sigma.T, nat_grad_vi_delta)
+        vi_mu, nat_mu, sigma.log_det_sigma, nat_grad_vi_delta)
 
 
 # ---------------------------------------------------------------------------
@@ -247,7 +249,7 @@ def _update_beta(data, st, orig_obj, cur_post_mean, cur_linked,
                                            st.vi_mu)
     nat_grad_mu = _nat_grad_beta(data, st.error_scaling, cur_post_mean,
                                  cur_linked)
-    const_part = st.sigma.log_det_sigma.T
+    const_part = st.sigma.log_det_sigma
 
     def trial(L0):
         step_size = 1. / L0
@@ -467,11 +469,11 @@ def initialize_from_fake_mu(data, sigma, error_scaling, fake_mu):
     """Device-side remainder of _initialize
     (variational_inference.py:658-700)."""
     eps = epsilon(fake_mu.dtype)
-    probs = jnp.einsum('pi,oi,kpo->ik', 1.6 * fake_mu, 1.6 * fake_mu,
+    probs = jnp.einsum('pi,oi,kpo->ki', 1.6 * fake_mu, 1.6 * fake_mu,
                        data.mixture_prec)
-    probs = probs + sigma.matches - data.log_det[None, :]
-    probs = jnp.exp(-0.5 * (probs - jnp.min(probs, axis=1, keepdims=True)))
-    vi_delta = jnp.maximum(probs / probs.sum(axis=1, keepdims=True), eps)
+    probs = probs + sigma.matches - data.log_det[:, None]
+    probs = jnp.exp(-0.5 * (probs - jnp.min(probs, axis=0, keepdims=True)))
+    vi_delta = jnp.maximum(probs / probs.sum(axis=0, keepdims=True), eps)
 
     hyper = kernels.sum_annotations(vi_delta, data.annotations,
                                     data.num_annotations) + 1.
@@ -493,7 +495,7 @@ def initialize_from_fake_mu(data, sigma, error_scaling, fake_mu):
 
     vi_delta = kernels.fast_invert_nat_vi_delta(
         vi_mu, sigma_mod.apply_precision(data.mixture_prec, dterm, vi_mu),
-        sigma.log_det_sigma.T, nat_vi_delta)
+        sigma.log_det_sigma, nat_vi_delta)
     return vi_mu, vi_delta, hyper, nat_vi_delta
 
 
@@ -809,10 +811,10 @@ class MultiPopVI:
         zeros = lambda *s: np.zeros(s, dtype=dtype)  # noqa: E731
         return VIState(
             vi_mu=zeros(K, self.num_pops, self._padded_loci),
-            vi_delta=zeros(self._padded_loci, K),
+            vi_delta=zeros(K, self._padded_loci),
             hyper_delta=zeros(self.num_annotations, K),
             error_scaling=error_scaling,
-            nat_grad_vi_delta=zeros(self._padded_loci, K - 1),
+            nat_grad_vi_delta=zeros(K - 1, self._padded_loci),
             sigma=sig,
             L=np.ones(3, dtype=dtype),
             elbo=np.asarray(0., dtype=dtype),
@@ -866,8 +868,8 @@ class MultiPopVI:
         vi_mu[..., ix] = vi_mu_in
         # uniform pad rows keep log(vi_delta) finite; pads are masked out
         # of every reduction and rewritten by the first update
-        vi_delta = np.full((self._padded_loci, K), 1.0 / K, dtype=dtype)
-        vi_delta[ix] = vi_delta_in
+        vi_delta = np.full((K, self._padded_loci), 1.0 / K, dtype=dtype)
+        vi_delta[:, ix] = vi_delta_in.T
         return dataclasses.replace(
             st,
             vi_mu=vi_mu,
@@ -886,7 +888,7 @@ class MultiPopVI:
         ix = self._out_index
         return {
             'vi_mu': _fetch(st.vi_mu)[:, :, ix],
-            'vi_delta': _fetch(st.vi_delta)[ix],
+            'vi_delta': _fetch(st.vi_delta)[:, ix].T,
             'hyper_delta': _fetch(st.hyper_delta),
             'error_scaling': _fetch(st.error_scaling),
             'scalings': _fetch(self.data.scalings)[:, ix],

@@ -8,7 +8,7 @@ updates converge to a true ELBO optimum (BASELINE.json north star:
 
 Parameterization:
     vi_mu           unconstrained [K, P, I]
-    vi_delta        logits [I, K] -> softmax rows
+    vi_delta        logits [K, I] -> softmax over K
     hyper_delta     logits [A, K] -> softmax rows
 
 The variational covariances stay at their closed-form optimum given
@@ -36,7 +36,7 @@ jax.tree_util.register_dataclass(
 
 
 def _constrain(params):
-    vi_delta = jax.nn.softmax(params.delta_logits, axis=1)
+    vi_delta = jax.nn.softmax(params.delta_logits, axis=0)
     hyper_delta = jax.nn.softmax(params.hyper_logits, axis=1)
     return params.vi_mu, vi_delta, hyper_delta
 

@@ -28,9 +28,11 @@ class SigmaSummaries:
     error_scaling changes (reference _set_vi_sigma,
     variational_inference.py:712-733)."""
     log_det_sigma: jnp.ndarray    # [K, I]  log det vi_sigma
-    sigma_summary: jnp.ndarray    # [I, K]  logdet prior - logdet sigma + trace match
+    sigma_summary: jnp.ndarray    # [K, I]  logdet prior - logdet sigma + trace match
     diag: jnp.ndarray             # [K, P, I] diagonal of vi_sigma
-    matches: jnp.ndarray          # [I, K]  trace(mixture_prec[k] @ sigma[k,i])
+    matches: jnp.ndarray          # [K, I]  trace(mixture_prec[k] @ sigma[k,i])
+    #   all [K, I] (K-major: the reference keeps these [I, K], but on TPU
+    #   a K<=32 minor axis pads to 128 lanes — see kernels.fast_posterior_mean)
 
 
 jax.tree_util.register_dataclass(
@@ -111,7 +113,7 @@ def make_summaries(mixture_prec, log_det_prior, diag_term):
             (a,) = parts
             log_det_sigma = -jnp.log(a)                       # [K,I]
             diag = (1.0 / a)[:, None, :]                      # [K,1,I]
-            matches = (mixture_prec[:, 0, 0][:, None] / a).T  # [I,K]
+            matches = mixture_prec[:, 0, 0][:, None] / a      # [K,I]
         else:
             a, b, d = parts
             det = a * d - b * b
@@ -120,15 +122,15 @@ def make_summaries(mixture_prec, log_det_prior, diag_term):
             p00 = mixture_prec[:, 0, 0][:, None]
             p01 = mixture_prec[:, 0, 1][:, None]
             p11 = mixture_prec[:, 1, 1][:, None]
-            matches = ((p00 * d - 2 * p01 * b + p11 * a) / det).T
+            matches = (p00 * d - 2 * p01 * b + p11 * a) / det  # [K,I]
     else:
         prec = _dense_precision(mixture_prec, diag_term)      # [K,I,P,P]
         sigma = jnp.linalg.inv(prec)
         log_det_sigma = -jnp.linalg.slogdet(prec)[1]          # [K,I]
         diag = jnp.transpose(jnp.diagonal(sigma, axis1=-2, axis2=-1),
                              (0, 2, 1))                       # [K,P,I]
-        matches = jnp.einsum('kpq,kiqp->ik', mixture_prec, sigma)
-    sigma_summary = (log_det_prior[None, :] - log_det_sigma.T + matches)
+        matches = jnp.einsum('kpq,kiqp->ki', mixture_prec, sigma)
+    sigma_summary = (log_det_prior[:, None] - log_det_sigma + matches)
     return SigmaSummaries(log_det_sigma=log_det_sigma,
                           sigma_summary=sigma_summary,
                           diag=diag,
@@ -136,28 +138,29 @@ def make_summaries(mixture_prec, log_det_prior, diag_term):
 
 
 def sigma_weighted_sum(mixture_prec, diag_term, vi_delta):
-    """sum_k vi_delta[i,k] * vi_sigma[k,:,:,i] -> [I,P,P].
+    """sum_k vi_delta[k,i] * vi_sigma[k,:,:,i] -> [I,P,P].
 
     Used only at initialization (reference variational_inference.py:681-684).
+    vi_delta: [K, I] (K-major).
     """
     P = mixture_prec.shape[1]
     if _use_closed_form(P):
         parts = _precision_parts(mixture_prec, diag_term)
         if P == 1:
             (a,) = parts
-            out = jnp.einsum('ik,ki->i', vi_delta, 1.0 / a)
+            out = jnp.einsum('ki,ki->i', vi_delta, 1.0 / a)
             return out[:, None, None]
         a, b, d = parts
         det = a * d - b * b
-        s00 = jnp.einsum('ik,ki->i', vi_delta, d / det)
-        s01 = jnp.einsum('ik,ki->i', vi_delta, -b / det)
-        s11 = jnp.einsum('ik,ki->i', vi_delta, a / det)
+        s00 = jnp.einsum('ki,ki->i', vi_delta, d / det)
+        s01 = jnp.einsum('ki,ki->i', vi_delta, -b / det)
+        s11 = jnp.einsum('ki,ki->i', vi_delta, a / det)
         row0 = jnp.stack([s00, s01], axis=-1)
         row1 = jnp.stack([s01, s11], axis=-1)
         return jnp.stack([row0, row1], axis=-2)               # [I,2,2]
     prec = _dense_precision(mixture_prec, diag_term)
     sigma = jnp.linalg.inv(prec)                              # [K,I,P,P]
-    return jnp.einsum('ik,kipq->ipq', vi_delta, sigma)
+    return jnp.einsum('ki,kipq->ipq', vi_delta, sigma)
 
 
 def materialize_sigma(mixture_prec, diag_term):

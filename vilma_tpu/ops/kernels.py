@@ -15,7 +15,6 @@ Design notes (SURVEY.md section 2.2):
   * the categorical clamp EPSILON is dtype-dependent (1e-100 in f64 per
     reference numerics.py:8, 1e-30 in f32 where 1e-100 underflows).
 """
-import jax
 import jax.numpy as jnp
 
 from vilma_tpu.utils.config import epsilon
@@ -55,8 +54,14 @@ def fast_likelihood(post_means, post_vars, scaled_mu, scaled_ld_diags,
 
 
 def fast_posterior_mean(vi_mu, vi_delta):
-    """einsum('kpi,ik->pi') — mixture-weighted mean (numerics.py:49-57)."""
-    return jnp.einsum('kpi,ik->pi', vi_mu, vi_delta)
+    """Mixture-weighted mean (numerics.py:49-57, einsum('kpi,ik->pi')).
+
+    vi_delta is stored K-major ([K, I], the transpose of the reference's
+    [I, K]) so that the SNP axis lands on TPU vector lanes: a [I, K<=32]
+    array tiles as T(8,128) with the K axis padded to 128 lanes — a 7x
+    HBM expansion at K=18 that both OOMs the 6M-SNP fit and taxes every
+    read. All [*, K] genome arrays follow the same convention."""
+    return jnp.einsum('kpi,ki->pi', vi_mu, vi_delta)
 
 
 def fast_pmv(mean, vi_mu, vi_delta, vi_sigma_diag):
@@ -65,7 +70,7 @@ def fast_pmv(mean, vi_mu, vi_delta, vi_sigma_diag):
     vi_sigma_diag: [K, P, I] diagonal of the variational covariances
     (the reference's einsum('kppi->kpi', vi_sigma)).
     """
-    second_moment = jnp.einsum('kpi,ik->pi', vi_sigma_diag + vi_mu ** 2,
+    second_moment = jnp.einsum('kpi,ki->pi', vi_sigma_diag + vi_mu ** 2,
                                vi_delta)
     return second_moment - mean ** 2
 
@@ -73,79 +78,86 @@ def fast_pmv(mean, vi_mu, vi_delta, vi_sigma_diag):
 def fast_inner_product_comp(vi_mu, mixture_prec, vi_delta):
     """0.5 * einsum('kpi,kqi,kqp,ik->') (numerics.py:98-115)."""
     quad = jnp.einsum('kpi,kqi,kqp->ki', vi_mu, vi_mu, mixture_prec)
-    return 0.5 * jnp.einsum('ki,ik->', quad, vi_delta)
+    return 0.5 * jnp.einsum('ki,ki->', quad, vi_delta)
 
 
 def sum_annotations(deltas, annotations, num_annotations):
     """Segment-sum of vi_delta rows by annotation id (numerics.py:118-129).
 
-    Padding SNPs (annotation id == num_annotations, used when the SNP axis
-    is padded for even mesh sharding) accumulate into an extra segment that
-    is dropped, so they never perturb the real sums."""
-    return jax.ops.segment_sum(
-        deltas, annotations,
-        num_segments=num_annotations + 1)[:num_annotations]
+    deltas: [K, I]; returns [A, K]. Padding SNPs (annotation id ==
+    num_annotations, used when the SNP axis is padded for even mesh
+    sharding) accumulate into an extra segment that is dropped, so they
+    never perturb the real sums. Expressed as a one-hot contraction (an
+    MXU matmul with I on the lanes) rather than a lane-crossing
+    segment-sum over the K-major layout."""
+    one_hot = (annotations[:, None]
+               == jnp.arange(num_annotations + 1)[None, :])
+    out = jnp.einsum('ki,ia->ak', deltas,
+                     one_hot.astype(deltas.dtype))
+    return out[:num_annotations]
 
 
 def fast_delta_kl(vi_delta, hyper_delta, annotations):
     """sum_i vi_delta[i] . (log vi_delta[i] - log hyper_delta[a_i])
-    (numerics.py:132-141). Padding SNPs (annotation id == num rows of
-    hyper_delta) contribute zero."""
+    (numerics.py:132-141). vi_delta: [K, I]. Padding SNPs (annotation
+    id == num rows of hyper_delta) contribute zero."""
     A = hyper_delta.shape[0]
-    log_hyper = jnp.log(hyper_delta)[jnp.minimum(annotations, A - 1)]
-    per_snp = jnp.sum(vi_delta * (jnp.log(vi_delta) - log_hyper), axis=1)
+    log_hyper = jnp.log(hyper_delta).T[:, jnp.minimum(annotations, A - 1)]
+    per_snp = jnp.sum(vi_delta * (jnp.log(vi_delta) - log_hyper), axis=0)
     return jnp.sum(jnp.where(annotations < A, per_snp, 0.0))
 
 
 def fast_beta_kl(sigma_summary, vi_delta):
     """0.5 * sum(sigma_summary * vi_delta) (numerics.py:144-146).
 
-    sigma_summary: [I, K] covariance-only KL terms (models.sigma)."""
+    sigma_summary: [K, I] covariance-only KL terms (models.sigma)."""
     return 0.5 * jnp.sum(sigma_summary * vi_delta)
 
 
 def fast_vi_delta_grad(hyper_delta, log_det, annotations):
     """Natural parameter of the prior-only vi_delta (numerics.py:149-164).
 
-    Returns [I, K-1]: (log hyper[a_i, k] - 0.5 log_det[k]) minus the
+    Returns [K-1, I]: (log hyper[a_i, k] - 0.5 log_det[k]) minus the
     last-component baseline.
     """
     A = hyper_delta.shape[0]
     scores = jnp.log(hyper_delta) - 0.5 * log_det          # [A, K]
-    scores = scores[jnp.minimum(annotations, A - 1)]       # [I, K]
-    return scores[:, :-1] - scores[:, -1:]
+    scores = scores.T[:, jnp.minimum(annotations, A - 1)]  # [K, I]
+    return scores[:-1] - scores[-1:]
 
 
 def map_to_nat_cat_2D(probs):
-    """log(probs[:, k] / probs[:, -1]) for k < K-1 (numerics.py:167-176)."""
+    """log(probs[k] / probs[-1]) for k < K-1 (numerics.py:167-176).
+
+    probs: [K, I] -> [K-1, I]."""
     logp = jnp.log(probs)
-    return logp[:, :-1] - logp[:, -1:]
+    return logp[:-1] - logp[-1:]
 
 
 def invert_nat_cat_2D(nat_probs):
     """Stabilized softmax-with-implicit-last-zero, clamped at epsilon
-    (numerics.py:179-195). nat_probs: [I, K-1] -> probs [I, K]."""
+    (numerics.py:179-195). nat_probs: [K-1, I] -> probs [K, I]."""
     eps = epsilon(nat_probs.dtype)
     # initial=0 matches the reference's max(max(row), 0) and also covers
-    # the degenerate single-component family (K-1 == 0 columns)
-    max_p = jnp.max(nat_probs, axis=1, keepdims=True, initial=0.0)
-    expd = jnp.exp(nat_probs - max_p)                      # [I, K-1]
-    last = jnp.exp(-max_p)                                 # [I, 1]
-    denom = last + jnp.sum(expd, axis=1, keepdims=True)
-    probs = jnp.concatenate([expd, last], axis=1) / denom
+    # the degenerate single-component family (K-1 == 0 rows)
+    max_p = jnp.max(nat_probs, axis=0, keepdims=True, initial=0.0)
+    expd = jnp.exp(nat_probs - max_p)                      # [K-1, I]
+    last = jnp.exp(-max_p)                                 # [1, I]
+    denom = last + jnp.sum(expd, axis=0, keepdims=True)
+    probs = jnp.concatenate([expd, last], axis=0) / denom
     return jnp.maximum(probs, eps)
 
 
 def fast_invert_nat_vi_delta(new_mu, nat_mu, const_part, nat_vi_delta):
     """Closed-form vi_delta from natural parameters (numerics.py:198-213).
 
-    new_mu, nat_mu: [K, P, I]; const_part: [I, K] (vi_sigma log-dets);
-    nat_vi_delta: [I, K-1]. The quadratic forms mu.nat_mu per component are
+    new_mu, nat_mu: [K, P, I]; const_part: [K, I] (vi_sigma log-dets);
+    nat_vi_delta: [K-1, I]. The quadratic forms mu.nat_mu per component are
     differenced against the last component and fed through the stabilized
     categorical inversion. This chain fuses into a single elementwise+reduce
     kernel under XLA (the reference's hottest fused kernel — SURVEY.md 7.3.4).
     """
-    quad = jnp.einsum('kpi,kpi->ik', new_mu, nat_mu)       # [I, K]
+    quad = jnp.einsum('kpi,kpi->ki', new_mu, nat_mu)       # [K, I]
     addenda = const_part + quad
-    to_invert = 0.5 * (addenda[:, :-1] - addenda[:, -1:]) + nat_vi_delta
+    to_invert = 0.5 * (addenda[:-1] - addenda[-1:]) + nat_vi_delta
     return invert_nat_cat_2D(to_invert)

@@ -75,19 +75,19 @@ def _specs(comp):
         ('ModelData', 'log_det'): P(comp),
         # VIState
         ('VIState', 'vi_mu'): P(comp, None, 'snp'),
-        ('VIState', 'vi_delta'): P('snp', comp),
+        ('VIState', 'vi_delta'): P(comp, 'snp'),
         ('VIState', 'hyper_delta'): P(None, comp),
         ('VIState', 'error_scaling'): P(),
-        ('VIState', 'nat_grad_vi_delta'): P('snp'),
+        ('VIState', 'nat_grad_vi_delta'): P(None, 'snp'),
         ('VIState', 'L'): P(),
         ('VIState', 'elbo'): P(),
         ('VIState', 'running_elbo_delta'): P(),
         ('VIState', 'num_err'): P(),
         # SigmaSummaries
         ('SigmaSummaries', 'log_det_sigma'): P(comp, 'snp'),
-        ('SigmaSummaries', 'sigma_summary'): P('snp', comp),
+        ('SigmaSummaries', 'sigma_summary'): P(comp, 'snp'),
         ('SigmaSummaries', 'diag'): P(comp, None, 'snp'),
-        ('SigmaSummaries', 'matches'): P('snp', comp),
+        ('SigmaSummaries', 'matches'): P(comp, 'snp'),
         # PackedLD buckets: shard the block axis
         ('BlockBucket', 'u'): P('snp'),
         ('BlockBucket', 'grows'): P('snp'),

@@ -76,8 +76,8 @@ def synthetic_state(data, seed=0):
     sig = sigma_mod.make_summaries(
         data.mixture_prec, data.log_det,
         data.scaled_ld_diags / error_scaling[:, None])
-    delta = rng.uniform(0.1, 1.0, (I, K))
-    delta /= delta.sum(axis=1, keepdims=True)
+    delta = rng.uniform(0.1, 1.0, (K, I))
+    delta /= delta.sum(axis=0, keepdims=True)
     hyper = rng.uniform(0.1, 1.0, (A, K))
     hyper /= hyper.sum(axis=1, keepdims=True)
     from vilma_tpu.ops import kernels
