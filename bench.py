@@ -16,6 +16,7 @@ minutes and is not what this benchmark measures.
 import json
 import os
 import time
+from functools import partial
 
 import numpy as np
 
@@ -228,7 +229,9 @@ def _bench_steps(data, state, n_steps):
     from jax import lax
     from vilma_tpu.inference import engine
 
-    @jax.jit
+    # donate the state: at 6M SNPs the VI state is ~3.9 GB and the old
+    # buffers are dead once the chained steps return
+    @partial(jax.jit, donate_argnums=(1,))
     def run(data, st):
         def body(i, st):
             st, _ = engine.outer_step_impl(data, st, line_search_rate=2.0)

@@ -86,10 +86,12 @@ def main():
             dtype=np.float32, rank_frac=bench.RANK_FRAC)
         state = synthetic.synthetic_state(data)
 
+    # one UNIQUE LD parameter (both populations index it via ld_index,
+    # matching build_model_data's identity dedup)
     ld_sds = _packed_sds(cache_dir)
     data_sds = dataclasses.replace(
         _sds_of(dataclasses.replace(data, ld=()), SMALL_I, big_i),
-        ld=(ld_sds, ld_sds))
+        ld=(ld_sds,))
     state_sds = _sds_of(state, SMALL_I, big_i)
 
     donate = (1,) if '--donate' in sys.argv else ()
@@ -105,7 +107,7 @@ def main():
     dev = accel[0] if accel else cpu
     print(f'compiling for {dev.platform} at I={big_i:,} '
           f'(donate={bool(donate)}) ...', flush=True)
-    compiled = jax.jit(run).lower(data_sds, state_sds).compile()
+    compiled = run.lower(data_sds, state_sds).compile()
     ma = compiled.memory_analysis()
 
     gib = 1024 ** 3
@@ -114,15 +116,13 @@ def main():
         for bk in ld_sds.buckets
         for f in jax.tree.leaves(bk))
     print(f'argument bytes : {ma.argument_size_in_bytes / gib:8.2f} GiB '
-          f'(LD counted twice; one copy = {ld_bytes / gib:.2f} GiB)')
+          f'(LD = {ld_bytes / gib:.2f} GiB)')
     print(f'output bytes   : {ma.output_size_in_bytes / gib:8.2f} GiB')
     print(f'temp bytes     : {ma.temp_size_in_bytes / gib:8.2f} GiB')
     print(f'alias bytes    : {ma.alias_size_in_bytes / gib:8.2f} GiB')
-    real_args = ma.argument_size_in_bytes - ld_bytes
-    peak = (real_args + ma.temp_size_in_bytes
+    peak = (ma.argument_size_in_bytes + ma.temp_size_in_bytes
             + ma.output_size_in_bytes - ma.alias_size_in_bytes)
-    print(f'real peak (args - dup LD + temp + out - alias): '
-          f'{peak / gib:8.2f} GiB')
+    print(f'peak (args + temp + out - alias): {peak / gib:8.2f} GiB')
 
 
 if __name__ == '__main__':

@@ -64,9 +64,15 @@ class ModelData:
     annotation_counts: jnp.ndarray     # [A]
     mixture_prec: jnp.ndarray          # [K, P, P]
     log_det: jnp.ndarray               # [K] prior covariance log-dets
-    ld: tuple                          # tuple[PackedLD], one per population
+    ld: tuple                          # tuple[PackedLD], UNIQUE matrices
     num_annotations: int
     scale_se: bool
+    # population p uses ld[ld_index[p]]. Cohorts sharing one LD matrix
+    # (e.g. the benchmark's two populations) must not pass the same
+    # tensors as two jit parameters: XLA's compile-time HBM check counts
+    # each parameter separately (it cannot know two will alias), which
+    # alone is ~6 GB of phantom usage at 6M SNPs.
+    ld_index: tuple = ()
 
 
 jax.tree_util.register_dataclass(
@@ -75,7 +81,7 @@ jax.tree_util.register_dataclass(
                  'scaled_ld_diags', 'adj_marginal_effects', 'chi_stat',
                  'ld_ranks', 'inverse_betas', 'annotations',
                  'annotation_counts', 'mixture_prec', 'log_det', 'ld'),
-    meta_fields=('num_annotations', 'scale_se'),
+    meta_fields=('num_annotations', 'scale_se', 'ld_index'),
 )
 
 
@@ -130,7 +136,7 @@ def _ld_scaled_dot(data, post_means):
     matvec (variational_inference.py:459,812)."""
     scaled_mu = post_means / data.std_errs
     return scaled_mu, jnp.stack(
-        [blocks_mod.dot(data.ld[p], scaled_mu[p])
+        [blocks_mod.dot(data.ld[data.ld_index[p]], scaled_mu[p])
          for p in range(scaled_mu.shape[0])])
 
 
@@ -504,16 +510,17 @@ def initialize_from_fake_mu(data, sigma, error_scaling, fake_mu):
 # variational_inference.py:96-259)
 # ---------------------------------------------------------------------------
 
-@jax.jit
-def _precompute_stats(ld, marginal_effects, std_errs, gwas_N, init_hg,
-                      real_mask):
+@partial(jax.jit, static_argnames=('ld_index',))
+def _precompute_stats(ld, ld_index, marginal_effects, std_errs, gwas_N,
+                      init_hg, real_mask):
     P = marginal_effects.shape[0]
-    ld_diags = jnp.stack([blocks_mod.diag(ld[p]) for p in range(P)])
+    lds = [ld[ld_index[p]] for p in range(P)]
+    ld_diags = jnp.stack([blocks_mod.diag(lds[p]) for p in range(P)])
     z_scores = marginal_effects / std_errs
-    mle = jnp.stack([blocks_mod.inverse_dot(ld[p], z_scores[p])
+    mle = jnp.stack([blocks_mod.inverse_dot(lds[p], z_scores[p])
                      for p in range(P)])
     chi_stat = jnp.einsum('pi,pi->p', z_scores, mle)
-    adj = jnp.stack([blocks_mod.dot(ld[p], mle[p]) for p in range(P)])
+    adj = jnp.stack([blocks_mod.dot(lds[p], mle[p]) for p in range(P)])
     adj = adj / std_errs
     # layout-pad slots must not inflate the LDpred-style prior's SE^-2 sum
     # (the reference sums over all real variants incl. missing,
@@ -521,7 +528,7 @@ def _precompute_stats(ld, marginal_effects, std_errs, gwas_N, init_hg,
     prior = (2 * gwas_N * init_hg) / jnp.sum(
         std_errs ** -2 * real_mask[None, :], axis=1)
     inv_z = jnp.stack([
-        blocks_mod.ridge_inverse_dot(ld[p], adj[p] * std_errs[p],
+        blocks_mod.ridge_inverse_dot(lds[p], adj[p] * std_errs[p],
                                      std_errs[p] ** 2 / prior[p])
         for p in range(P)])
     inverse_betas = inv_z * std_errs
@@ -617,10 +624,22 @@ def build_model_data(marginal_effects, std_errs, ld_mats, annotations,
     use_std_errs_j = as_pi(use_std_errs)
     gwas_N = as_rep(gwas_N)
     init_hg = as_rep(init_hg)
-    ld_tuple = tuple(ld_mats)
+    # deduplicate by identity: cohorts sharing one LD matrix must enter
+    # jits as ONE parameter (see ModelData.ld_index)
+    uniq, ld_index = [], []
+    for m in ld_mats:
+        matches = [j for j, u in enumerate(uniq) if u is m]
+        if matches:
+            ld_index.append(matches[0])
+        else:
+            ld_index.append(len(uniq))
+            uniq.append(m)
+    ld_tuple = tuple(uniq)
+    ld_index = tuple(ld_index)
     real_mask = as_i((row_sums > 0).astype(dtype))
     ld_diags, chi_stat, adj, inverse_betas = _precompute_stats(
-        ld_tuple, marginal, use_std_errs_j, gwas_N, init_hg, real_mask)
+        ld_tuple, ld_index, marginal, use_std_errs_j, gwas_N, init_hg,
+        real_mask)
 
     ld_diags_np = _fetch(ld_diags)
     if not np.allclose(_fetch(adj)[np.isclose(ld_diags_np, 0)], 0):
@@ -649,6 +668,7 @@ def build_model_data(marginal_effects, std_errs, ld_mats, annotations,
         ld=ld_tuple,
         num_annotations=int(annotations.shape[1]),
         scale_se=bool(scale_se),
+        ld_index=ld_index,
     )
 
 

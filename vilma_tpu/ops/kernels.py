@@ -100,11 +100,23 @@ def sum_annotations(deltas, annotations, num_annotations):
 def fast_delta_kl(vi_delta, hyper_delta, annotations):
     """sum_i vi_delta[i] . (log vi_delta[i] - log hyper_delta[a_i])
     (numerics.py:132-141). vi_delta: [K, I]. Padding SNPs (annotation
-    id == num rows of hyper_delta) contribute zero."""
+    id == num rows of hyper_delta) contribute zero.
+
+    The per-SNP hyper term avoids a [K,A]->[K,I] axis-1 gather: XLA's
+    TPU layout assignment propagates that gather's K-minor preference
+    through the whole fused vi_delta cluster, repadding K to 128 lanes
+    (7.1x HBM at K=18 — the 6M-SNP OOM). Instead project
+    logh.T @ vi_delta once ([A,I], an MXU matmul) and pick each SNP's
+    annotation row with A masked selects."""
     A = hyper_delta.shape[0]
-    log_hyper = jnp.log(hyper_delta).T[:, jnp.minimum(annotations, A - 1)]
-    per_snp = jnp.sum(vi_delta * (jnp.log(vi_delta) - log_hyper), axis=0)
-    return jnp.sum(jnp.where(annotations < A, per_snp, 0.0))
+    entropy = jnp.sum(vi_delta * jnp.log(vi_delta), axis=0)     # [I]
+    proj = jnp.log(hyper_delta) @ vi_delta                      # [A, I]
+    hyper_term = 0.
+    for a in range(A):
+        hyper_term = hyper_term + jnp.where(annotations == a,
+                                            proj[a], 0.0)
+    return jnp.sum(jnp.where(annotations < A,
+                             entropy - hyper_term, 0.0))
 
 
 def fast_beta_kl(sigma_summary, vi_delta):
@@ -122,8 +134,14 @@ def fast_vi_delta_grad(hyper_delta, log_det, annotations):
     """
     A = hyper_delta.shape[0]
     scores = jnp.log(hyper_delta) - 0.5 * log_det          # [A, K]
-    scores = scores.T[:, jnp.minimum(annotations, A - 1)]  # [K, I]
-    return scores[:-1] - scores[-1:]
+    nat = scores[:, :-1] - scores[:, -1:]                  # [A, K-1]
+    # A masked broadcasts instead of a [K-1,A]->[K-1,I] axis-1 gather
+    # (same layout-poisoning gather as in fast_delta_kl; see there)
+    out = jnp.broadcast_to(nat.T[:, -1:],
+                           (nat.shape[1], annotations.shape[0]))
+    for a in range(A - 1):
+        out = jnp.where(annotations[None, :] == a, nat.T[:, a:a + 1], out)
+    return out
 
 
 def map_to_nat_cat_2D(probs):
