@@ -12,6 +12,7 @@ import jax.numpy as jnp
 from vilma_tpu.ops import blocks
 from vilma_tpu.inference import engine
 from vilma_tpu.models import sigma as sigma_mod
+from vilma_tpu.utils import synthetic
 
 
 def dense_ld_50():
@@ -283,3 +284,35 @@ def test_posterior_variance_positive():
     st = scheme.optimize()
     pv = scheme.real_posterior_variance(st)
     assert np.all(pv > 0)
+
+
+def test_ld_dedup_by_identity():
+    # two populations sharing one PackedLD object must produce ONE entry
+    # in ModelData.ld (a single jit parameter — at 6M SNPs a duplicate
+    # is ~6 GB of phantom HBM in XLA's compile-time check) while
+    # distinct objects stay separate; ld_index maps populations to
+    # entries either way
+    np.random.seed(0)
+    ld = dense_ld_50()
+    packed = blocks.from_dense_blocks([ld], [np.arange(50)], 50)
+    packed2 = blocks.from_dense_blocks([ld], [np.arange(50)], 50)
+    betas = np.arange(100).reshape(2, 50).astype(float)
+    std_errs = np.ones((2, 50))
+    kwargs = dict(
+        annotations=np.ones((50, 1)), mixture_covs=[np.eye(2)],
+        scaled=False, scale_se=False, gwas_N=np.array([1e3, 1e3]),
+        init_hg=np.array([0.1, 0.1]))
+    shared = engine.build_model_data(betas, std_errs, [packed, packed],
+                                     **kwargs)
+    assert len(shared.ld) == 1 and shared.ld_index == (0, 0)
+    distinct = engine.build_model_data(betas, std_errs, [packed, packed2],
+                                       **kwargs)
+    assert len(distinct.ld) == 2 and distinct.ld_index == (0, 1)
+    # and the engine math agrees between the two representations
+    s1 = synthetic.synthetic_state(shared)
+    s2 = synthetic.synthetic_state(distinct)
+    e1 = engine.elbo_jit(shared, s1.sigma, s1.error_scaling, s1.vi_mu,
+                         s1.vi_delta, s1.hyper_delta)
+    e2 = engine.elbo_jit(distinct, s2.sigma, s2.error_scaling, s2.vi_mu,
+                         s2.vi_delta, s2.hyper_delta)
+    assert np.isclose(float(e1), float(e2))
