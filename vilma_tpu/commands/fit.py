@@ -5,6 +5,7 @@ Same argument surface, output files (.npz / .covariance.pkl /
 (reference vi_options.py:9-281), executing on the TPU-native engine.
 """
 import logging
+import os
 import pickle
 
 import numpy as np
@@ -172,9 +173,14 @@ def main(args):
     missing_ld_info = np.zeros((len(annotations), num_pops), dtype=bool)
 
     combined_ld, combined_betas, combined_errors = [], [], []
-    stderr_mult = np.array(list(map(float, args.stderrscale.split(','))))
-    gwas_n = np.array(list(map(float, args.samplesizes.split(','))))
-    init_hg = np.array(list(map(float, args.init_hg.split(','))))
+    # a single value broadcasts across populations (reference
+    # vi_options.py:124-131); per-population lists must match the count
+    stderr_mult = np.zeros(num_pops)
+    stderr_mult[:] = list(map(float, args.stderrscale.split(',')))
+    gwas_n = np.zeros(num_pops)
+    gwas_n[:] = list(map(float, args.samplesizes.split(',')))
+    init_hg = np.zeros(num_pops)
+    init_hg[:] = list(map(float, args.init_hg.split(',')))
 
     dtype = np.float64 if args.precision == 'f64' else np.float32
     u_dtype = None
@@ -200,6 +206,11 @@ def main(args):
                                   n_comp=int(axes.get('comp', 1)))
     multiproc = jax.process_count() > 1
 
+    # cohorts that share an LD panel (same --ld-schema path) and mask the
+    # same variants get ONE loaded matrix: the engine deduplicates LD
+    # inputs by object identity (engine.ModelData.ld_index), halving both
+    # device memory and per-iteration matvec traffic for the shared case
+    ld_cache = {}
     for idx, (ld_schema_path, sumstats_path) in enumerate(
             zip(args.ld_schema.split(','), args.sumstats.split(','))):
         logging.info('Loading sumstats for population %d...', idx + 1)
@@ -213,18 +224,26 @@ def main(args):
         combined_errors.append(np.array(sumstats.SE).reshape((1, -1))
                                * stderr_mult[idx])
         logging.info('Loading LD for population %d...', idx + 1)
-        if multiproc:
+        ld_key = (os.path.realpath(ld_schema_path),
+                  tuple(sorted(set(missing))))
+        if ld_key in ld_cache:
+            logging.info('Population %d shares the LD panel of an '
+                         'earlier population; reusing it.', idx + 1)
+            ld_mat, this_missing_ld = ld_cache[ld_key]
+        elif multiproc:
             from vilma_tpu.parallel import distributed
             ld_mat, this_missing_ld = distributed.load_ld_sharded(
                 ld_schema_path, variants=variants, denylist=missing,
                 ldthresh=args.ldthresh, mmap=args.mmap, dtype=dtype,
                 mesh=mesh, u_dtype=u_dtype,
                 cache_dir=args.factor_cache or None)
+            ld_cache[ld_key] = (ld_mat, this_missing_ld)
         else:
             ld_mat, this_missing_ld = load.load_ld_from_schema(
                 ld_schema_path, variants=variants, denylist=missing,
                 ldthresh=args.ldthresh, mmap=args.mmap, dtype=dtype,
                 u_dtype=u_dtype, cache_dir=args.factor_cache or None)
+            ld_cache[ld_key] = (ld_mat, this_missing_ld)
         combined_ld.append(ld_mat)
         missing_ld_info[this_missing_ld, idx] = True
 

@@ -683,9 +683,9 @@ _scaled_posterior_mean = jax.jit(
     posterior_mean(vi_mu, vi_delta) * scalings)
 
 _scaled_posterior_variance = jax.jit(
-    lambda vi_mu, vi_delta, diag, scalings:
+    lambda vi_mu, vi_delta, sigma, scalings:
     kernels.fast_pmv(posterior_mean(vi_mu, vi_delta), vi_mu, vi_delta,
-                     diag) * scalings ** 2)
+                     sigma.diag) * scalings ** 2)
 
 _make_summaries_jit = jax.jit(
     lambda mixture_prec, log_det, scaled_ld_diags, error_scaling:
@@ -923,7 +923,7 @@ class MultiPopVI:
     def real_posterior_variance(self, st=None):
         st = st or self.state
         return _fetch(_scaled_posterior_variance(
-            st.vi_mu, st.vi_delta, st.sigma.diag,
+            st.vi_mu, st.vi_delta, st.sigma,
             self.data.scalings))[:, self._out_index]
 
     def optimize(self, loaded_checkpoint=None):
