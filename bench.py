@@ -41,6 +41,23 @@ RANK_FRAC = 0.5
 N_STEPS = 5
 
 
+def _accel_steps():
+    """Steps per timed chain on the accelerator leg.
+
+    The remote-TPU tunnel adds tens of ms of RTT jitter to the one
+    scalar fetch that synchronizes each timed chain; with the CPU leg's
+    5-step chains (~60 ms at 100K) that jitter measured +-20% run to
+    run. Size the chain so one rep takes ~1-3 s and the RTT noise
+    amortizes below ~5%. BENCH_ACCEL_STEPS overrides."""
+    if os.environ.get('BENCH_ACCEL_STEPS'):
+        return int(os.environ['BENCH_ACCEL_STEPS'])
+    if NUM_LOCI >= 6_000_000:
+        return 5
+    if NUM_LOCI >= 1_000_000:
+        return 15
+    return 100
+
+
 def _ld_u_dtype():
     # BENCH_LD_DTYPE=bf16 stores the LD eigenvector tensors in bfloat16
     # (halves the dominant HBM traffic; see fit --ld-precision)
@@ -266,7 +283,8 @@ def accel_main():
         from vilma_tpu.ops import blocks
         blocks.enable_pallas(True)
     data32, state32 = _build(np.float32, accel)
-    print('ACCEL_IPS', _bench_steps(data32, state32, N_STEPS), flush=True)
+    print('ACCEL_IPS', _bench_steps(data32, state32, _accel_steps()),
+          flush=True)
 
 
 def _run_accel_subprocess(timeout_s=None):

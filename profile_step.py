@@ -37,7 +37,21 @@ def main():
 
     data, state = bench._build(dtype, device)
 
-    def timeit(fn, *args, reps=20):
+    # one synchronizing fetch per timed batch costs a tunnel round-trip
+    # (~tens of ms, jittery); measure it and use enough reps that the
+    # residual RTT/reps bias is negligible (see PARITY.md "Lazy vi_sigma
+    # summaries" postscript: 5-step bench chains were RTT-dominated)
+    import jax.numpy as jnp
+    z = jax.jit(lambda: jnp.zeros(()))
+    _fetch(z())
+    t0 = time.perf_counter()
+    for _ in range(5):
+        _fetch(z())
+    rtt = (time.perf_counter() - t0) / 5
+    print(f'fetch round-trip      : {rtt * 1e3:8.2f} ms '
+          '(subtracted per timed batch)')
+
+    def timeit(fn, *args, reps=100):
         out = fn(*args)
         _fetch(jax.tree.leaves(out)[0])
         best = float('inf')
@@ -46,7 +60,7 @@ def main():
             for _ in range(reps):
                 out = fn(*args)
             _fetch(jax.tree.leaves(out)[0])
-            best = min(best, (time.perf_counter() - t0) / reps)
+            best = min(best, (time.perf_counter() - t0 - rtt) / reps)
         return best
 
     # 1. the block matvec pair

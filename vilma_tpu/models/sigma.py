@@ -24,83 +24,20 @@ import jax.numpy as jnp
 
 @dataclass(frozen=True)
 class SigmaSummaries:
-    """LAZY O(K*I) summaries of vi_sigma (reference _set_vi_sigma,
-    variational_inference.py:712-733).
-
-    Only the inputs are stored — a [P, I] diagonal term plus the K PxP
-    mixture precisions — so the VI state carries O(P*I) instead of the
-    (3K + K*P)*I floats of the materialized summaries (2.16 GB at 6M SNPs,
-    K=18, P=2). Every summary is a computed property: consumers re-derive
-    it from `diag_term` with a handful of fused elementwise ops, which XLA
-    folds into the consuming kernel — trading ~7% of per-evaluation HBM
-    reads (the dominant cost; see PARITY.md cost decomposition) for cheap
-    VPU recompute. Values are op-for-op identical to the eager form, so
-    reference-trajectory parity is unaffected.
-
-    All [K, I] arrays are K-major: the reference keeps these [I, K], but
-    on TPU a K<=32 minor axis pads to 128 lanes — see
-    kernels.fast_posterior_mean."""
-    mixture_prec: jnp.ndarray     # [K, P, P] prior mixture precisions
-    log_det_prior: jnp.ndarray    # [K] prior covariance log-dets
-    diag_term: jnp.ndarray        # [P, I] scaled_ld_diags / error_scaling
-
-    @property
-    def log_det_sigma(self):
-        """[K, I] log det vi_sigma."""
-        P = self.mixture_prec.shape[1]
-        if _use_closed_form(P):
-            parts = _precision_parts(self.mixture_prec, self.diag_term)
-            if P == 1:
-                return -jnp.log(parts[0])
-            a, b, d = parts
-            return -jnp.log(a * d - b * b)
-        prec = _dense_precision(self.mixture_prec, self.diag_term)
-        return -jnp.linalg.slogdet(prec)[1]
-
-    @property
-    def diag(self):
-        """[K, P, I] diagonal of vi_sigma."""
-        P = self.mixture_prec.shape[1]
-        if _use_closed_form(P):
-            parts = _precision_parts(self.mixture_prec, self.diag_term)
-            if P == 1:
-                return (1.0 / parts[0])[:, None, :]
-            a, b, d = parts
-            det = a * d - b * b
-            return jnp.stack([d / det, a / det], axis=1)
-        prec = _dense_precision(self.mixture_prec, self.diag_term)
-        sigma = jnp.linalg.inv(prec)
-        return jnp.transpose(jnp.diagonal(sigma, axis1=-2, axis2=-1),
-                             (0, 2, 1))
-
-    @property
-    def matches(self):
-        """[K, I] trace(mixture_prec[k] @ sigma[k,i])."""
-        P = self.mixture_prec.shape[1]
-        if _use_closed_form(P):
-            parts = _precision_parts(self.mixture_prec, self.diag_term)
-            if P == 1:
-                return self.mixture_prec[:, 0, 0][:, None] / parts[0]
-            a, b, d = parts
-            det = a * d - b * b
-            p00 = self.mixture_prec[:, 0, 0][:, None]
-            p01 = self.mixture_prec[:, 0, 1][:, None]
-            p11 = self.mixture_prec[:, 1, 1][:, None]
-            return (p00 * d - 2 * p01 * b + p11 * a) / det
-        prec = _dense_precision(self.mixture_prec, self.diag_term)
-        sigma = jnp.linalg.inv(prec)
-        return jnp.einsum('kpq,kiqp->ki', self.mixture_prec, sigma)
-
-    @property
-    def sigma_summary(self):
-        """[K, I] logdet prior - logdet sigma + trace match."""
-        return (self.log_det_prior[:, None] - self.log_det_sigma
-                + self.matches)
+    """Precomputed O(K*I) summaries of vi_sigma, refreshed whenever
+    error_scaling changes (reference _set_vi_sigma,
+    variational_inference.py:712-733)."""
+    log_det_sigma: jnp.ndarray    # [K, I]  log det vi_sigma
+    sigma_summary: jnp.ndarray    # [K, I]  logdet prior - logdet sigma + trace match
+    diag: jnp.ndarray             # [K, P, I] diagonal of vi_sigma
+    matches: jnp.ndarray          # [K, I]  trace(mixture_prec[k] @ sigma[k,i])
+    #   all [K, I] (K-major: the reference keeps these [I, K], but on TPU
+    #   a K<=32 minor axis pads to 128 lanes — see kernels.fast_posterior_mean)
 
 
 jax.tree_util.register_dataclass(
     SigmaSummaries,
-    data_fields=('mixture_prec', 'log_det_prior', 'diag_term'),
+    data_fields=('log_det_sigma', 'sigma_summary', 'diag', 'matches'),
     meta_fields=(),
 )
 
@@ -163,15 +100,41 @@ def _dense_precision(mixture_prec, diag_term):
 
 
 def make_summaries(mixture_prec, log_det_prior, diag_term):
-    """Build the (lazy) vi_sigma summaries.
+    """Build the O(K*I) vi_sigma summaries.
 
     log_det_prior: [K] log-determinants of the prior mixture covariances
     (note: of the covariances, i.e. -logdet(mixture_prec), matching
     reference MultiPopVI.log_det, variational_inference.py:624-626).
     """
-    return SigmaSummaries(mixture_prec=jnp.asarray(mixture_prec),
-                          log_det_prior=jnp.asarray(log_det_prior),
-                          diag_term=jnp.asarray(diag_term))
+    P = mixture_prec.shape[1]
+    if _use_closed_form(P):
+        parts = _precision_parts(mixture_prec, diag_term)
+        if P == 1:
+            (a,) = parts
+            log_det_sigma = -jnp.log(a)                       # [K,I]
+            diag = (1.0 / a)[:, None, :]                      # [K,1,I]
+            matches = mixture_prec[:, 0, 0][:, None] / a      # [K,I]
+        else:
+            a, b, d = parts
+            det = a * d - b * b
+            log_det_sigma = -jnp.log(det)
+            diag = jnp.stack([d / det, a / det], axis=1)      # [K,2,I]
+            p00 = mixture_prec[:, 0, 0][:, None]
+            p01 = mixture_prec[:, 0, 1][:, None]
+            p11 = mixture_prec[:, 1, 1][:, None]
+            matches = (p00 * d - 2 * p01 * b + p11 * a) / det  # [K,I]
+    else:
+        prec = _dense_precision(mixture_prec, diag_term)      # [K,I,P,P]
+        sigma = jnp.linalg.inv(prec)
+        log_det_sigma = -jnp.linalg.slogdet(prec)[1]          # [K,I]
+        diag = jnp.transpose(jnp.diagonal(sigma, axis1=-2, axis2=-1),
+                             (0, 2, 1))                       # [K,P,I]
+        matches = jnp.einsum('kpq,kiqp->ki', mixture_prec, sigma)
+    sigma_summary = (log_det_prior[:, None] - log_det_sigma + matches)
+    return SigmaSummaries(log_det_sigma=log_det_sigma,
+                          sigma_summary=sigma_summary,
+                          diag=diag,
+                          matches=matches)
 
 
 def sigma_weighted_sum(mixture_prec, diag_term, vi_delta):

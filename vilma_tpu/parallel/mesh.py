@@ -83,10 +83,11 @@ def _specs(comp):
         ('VIState', 'elbo'): P(),
         ('VIState', 'running_elbo_delta'): P(),
         ('VIState', 'num_err'): P(),
-        # SigmaSummaries (lazy: stores only its inputs)
-        ('SigmaSummaries', 'mixture_prec'): P(comp),
-        ('SigmaSummaries', 'log_det_prior'): P(comp),
-        ('SigmaSummaries', 'diag_term'): P(None, 'snp'),
+        # SigmaSummaries
+        ('SigmaSummaries', 'log_det_sigma'): P(comp, 'snp'),
+        ('SigmaSummaries', 'sigma_summary'): P(comp, 'snp'),
+        ('SigmaSummaries', 'diag'): P(comp, None, 'snp'),
+        ('SigmaSummaries', 'matches'): P(comp, 'snp'),
         # PackedLD buckets: shard the block axis
         ('BlockBucket', 'u'): P('snp'),
         ('BlockBucket', 'grows'): P('snp'),
