@@ -34,6 +34,11 @@ use_mmap = sys.argv[3] == "mmap"
 import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
+# the env var alone is NOT enough: this environment's sitecustomize
+# pre-imports jax pinned to a remote-TPU plugin, so an unpinned
+# subprocess silently opens a second TPU client (wedging the device
+# grant) and hangs if the grant is already wedged
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 from vilma_tpu.io import load
