@@ -383,3 +383,46 @@ def test_dot_i_with_diag_missing_and_mixed_buckets():
     expect = dense @ v
     for i in range(n):
         assert np.isclose(ld.dot_i(v, i), expect[i])
+
+
+def test_dot_multi_matches_stacked_dot():
+    """dot_multi (one U pass for C vectors) must equal per-vector dot
+    exactly — the engine batches cohorts sharing an LD panel through it
+    (engine._ld_scaled_dot)."""
+    rng = np.random.default_rng(21)
+    ld, dense, _ = _make_packed(rng, [5, 9, 33, 4])
+    vs = rng.standard_normal((3, dense.shape[0]))
+    got = np.asarray(blocks.dot_multi(ld, vs))
+    want = np.stack([np.asarray(blocks.dot(ld, v)) for v in vs])
+    # batched dot_general may re-associate the reduction: tiny ulp-level
+    # differences from the per-vector path are expected
+    assert np.allclose(got, want, rtol=1e-13, atol=1e-13)
+    assert np.allclose(got, vs @ dense.T)
+    # C == 1 degenerates to the single-vector path
+    one = np.asarray(blocks.dot_multi(ld, vs[:1]))
+    assert np.array_equal(one[0], np.asarray(blocks.dot(ld, vs[0])))
+
+
+def test_dot_multi_row_aligned():
+    """The 128-aligned contiguous-block fast path, multi-RHS."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(22)
+    sizes = [128, 256, 128]
+    idx_lists, dense_blocks = [], []
+    off = 0
+    for sz in sizes:
+        dense_blocks.append(random_symmetric(sz, rng))
+        idx_lists.append(np.arange(off, off + sz))
+        off += sz
+    n = off
+    ld = blocks.from_dense_blocks(dense_blocks, idx_lists, n, t=1.0)
+    assert ld.row_aligned
+    dense = np.zeros((n, n))
+    for x, ix in zip(dense_blocks, idx_lists):
+        dense[np.ix_(ix, ix)] = x
+    vs = rng.standard_normal((2, n))
+    got = np.asarray(blocks.dot_multi(ld, jnp.asarray(vs)))
+    want = np.stack([np.asarray(blocks.dot(ld, jnp.asarray(v)))
+                     for v in vs])
+    assert np.allclose(got, want, rtol=1e-13, atol=1e-13)
+    assert np.allclose(got, vs @ dense.T)

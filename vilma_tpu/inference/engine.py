@@ -151,11 +151,24 @@ def posterior_marginal_variance(mean, vi_mu, vi_delta, sigma):
 
 def _ld_scaled_dot(data, post_means):
     """linked = LD . (post_means / SE) for each population — the hot block
-    matvec (variational_inference.py:459,812)."""
+    matvec (variational_inference.py:459,812).
+
+    Populations sharing an LD matrix (ModelData.ld_index) are batched
+    into ONE multi-RHS pass (blocks.dot_multi), so the dominant U
+    tensors stream from HBM once instead of once per cohort."""
     scaled_mu = post_means / data.std_errs
-    return scaled_mu, jnp.stack(
-        [blocks_mod.dot(data.ld[data.ld_index[p]], scaled_mu[p])
-         for p in range(scaled_mu.shape[0])])
+    P = scaled_mu.shape[0]
+    outs = [None] * P
+    for m in range(len(data.ld)):
+        pops = [p for p in range(P) if data.ld_index[p] == m]
+        if len(pops) == 1:
+            outs[pops[0]] = blocks_mod.dot(data.ld[m], scaled_mu[pops[0]])
+        elif pops:
+            ys = blocks_mod.dot_multi(data.ld[m],
+                                      scaled_mu[jnp.array(pops)])
+            for j, p in enumerate(pops):
+                outs[p] = ys[j]
+    return scaled_mu, jnp.stack(outs)
 
 
 def log_likelihood_terms(data, sigma, error_scaling, vi_mu, vi_delta):

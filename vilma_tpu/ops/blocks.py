@@ -419,6 +419,65 @@ def _bucket_dot(bk, xb):
     return jnp.einsum('bpr,br->bp', bk.u, t) + bk.d * xb
 
 
+def _bucket_dot_multi(bk, xb):
+    """Batched-RHS bucket matvec: xb [B, C, P] -> [B, C, P].
+
+    One U pass serves all C vectors (cohorts sharing an LD panel read
+    U once instead of C times — U dominates HBM traffic at genome
+    scale). C rides the SUBLANE axis ([B, C, P] tiles with P on the
+    128 lanes); putting C minor would lane-pad 2 -> 128 and explode the
+    intermediate buffers (see kernels.fast_posterior_mean on the
+    padding tax)."""
+    if bk.u.dtype == jnp.bfloat16:
+        t = jnp.einsum('bpr,bcp->bcr', bk.u, xb.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        t = t * bk.s[:, None, :]
+        return (jnp.einsum('bpr,bcr->bcp', bk.u, t.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+                + bk.d[:, None, :] * xb)
+    t = jnp.einsum('bpr,bcp->bcr', bk.u, xb) * bk.s[:, None, :]
+    return jnp.einsum('bpr,bcr->bcp', bk.u, t) + bk.d[:, None, :] * xb
+
+
+def dot_multi(ld, vectors):
+    """Matrix @ each of C vectors in ONE pass over the LD factors.
+
+    vectors: [C, n] -> [C, n]. Exactly `jnp.stack([dot(ld, v) for v in
+    vectors])` numerically (same per-output contraction), but the
+    dominant U tensors stream from HBM once per pass instead of once
+    per vector — the engine uses this for cohorts that share an LD
+    matrix (engine._ld_scaled_dot, ModelData.ld_index)."""
+    C, n = vectors.shape
+    if C == 1:
+        return dot(ld, vectors[0])[None, :]
+    if not ld.row_aligned:
+        xs_ext = _extend(vectors)                           # [C, n+1]
+        out = jnp.zeros((n + 1, C), dtype=vectors.dtype)
+        for bk in ld.buckets:
+            B, P = bk.d.shape
+            xb = jnp.stack([xs_ext[c][bk.perm] for c in range(C)],
+                           axis=1)                          # [B, C, P]
+            yb = _bucket_dot_multi(bk, xb)
+            out = out.at[bk.perm.reshape(-1)].add(
+                jnp.moveaxis(yb, 1, 2).reshape(-1, C), mode='drop')
+        return out[:n].T
+    max_rpb = max((bk.pmax // 128 for bk in ld.buckets), default=1)
+    rows = -(-n // 128) + max_rpb + 1
+    x2 = jnp.zeros((C, rows * 128), vectors.dtype)
+    x2 = x2.at[:, :n].set(vectors).reshape(C, rows, 128)
+    y2 = jnp.zeros_like(x2)
+    for bk in ld.buckets:
+        B, P = bk.d.shape
+        xb = jnp.stack([x2[c][bk.grows].reshape(B, P) for c in range(C)],
+                       axis=1)                              # [B, C, P]
+        yb = _bucket_dot_multi(bk, xb)
+        tgt = jnp.where(bk.srows < 0, rows - 1, bk.srows)
+        for c in range(C):
+            y2 = y2.at[c, tgt.reshape(-1)].add(
+                yb[:, c].reshape(B * (P // 128), 128))
+    return y2.reshape(C, -1)[:, :n]
+
+
 def _dot_row_aligned(ld, vector):
     """Row-wise gather/scatter matvec for 128-aligned contiguous blocks.
 
