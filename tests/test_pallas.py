@@ -31,3 +31,41 @@ def test_supported_policy():
         assert not pk.supported(8, 8, jnp.float32)
         assert not pk.supported(1024, 512, jnp.float64)
         assert not pk.supported(8192, 8192, jnp.float32)
+
+
+def test_bucket_matvec_multi_matches_einsum():
+    """Multi-RHS fused kernel (one U pass for C cohorts)."""
+    rng = np.random.default_rng(1)
+    B, C, P, R = 2, 3, 128, 256
+    u = rng.standard_normal((B, P, R)).astype(np.float32)
+    s = rng.uniform(0.1, 2, (B, R)).astype(np.float32)
+    d = rng.uniform(0, 1, (B, P)).astype(np.float32)
+    x = rng.standard_normal((B, C, P)).astype(np.float32)
+    got = np.asarray(pk.bucket_matvec_multi(
+        jnp.asarray(u), jnp.asarray(s), jnp.asarray(d), jnp.asarray(x),
+        interpret=True))
+    t = np.einsum('bpr,bcp->bcr', u, x) * s[:, None, :]
+    expect = np.einsum('bpr,bcr->bcp', u, t) + d[:, None, :] * x
+    assert np.allclose(got, expect, atol=1e-3)
+
+
+def test_bucket_matvec_bf16_matches_xla_path():
+    """bf16 U: the kernel must agree with blocks' bf16 einsum path
+    (f32 accumulation, t re-cast to bf16 before the second dot)."""
+    import ml_dtypes
+    rng = np.random.default_rng(2)
+    B, C, P, R = 2, 2, 128, 128
+    u = jnp.asarray(rng.standard_normal((B, P, R)), dtype=jnp.bfloat16)
+    s = jnp.asarray(rng.uniform(0.1, 2, (B, R)), dtype=jnp.float32)
+    d = jnp.asarray(rng.uniform(0, 1, (B, P)), dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((B, C, P)), dtype=jnp.float32)
+    got = np.asarray(pk.bucket_matvec_multi(u, s, d, x, interpret=True))
+    t = jnp.einsum('bpr,bcp->bcr', u, x.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32) * s[:, None, :]
+    expect = np.asarray(
+        jnp.einsum('bpr,bcr->bcp', u, t.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+        + d[:, None, :] * x)
+    assert np.allclose(got, expect, atol=1e-2)
+    with __import__('jax').enable_x64(False):
+        assert pk.supported(1024, 512, jnp.bfloat16)

@@ -428,6 +428,10 @@ def _bucket_dot_multi(bk, xb):
     128 lanes); putting C minor would lane-pad 2 -> 128 and explode the
     intermediate buffers (see kernels.fast_posterior_mean on the
     padding tax)."""
+    if _USE_PALLAS:
+        from vilma_tpu.ops.pallas import block_matvec as pk
+        if pk.supported(bk.pmax, bk.rmax, bk.u.dtype):
+            return pk.bucket_matvec_multi(bk.u, bk.s, bk.d, xb)
     if bk.u.dtype == jnp.bfloat16:
         t = jnp.einsum('bpr,bcp->bcr', bk.u, xb.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)

@@ -1,18 +1,25 @@
-"""Pallas TPU kernel: fused low-rank block matvec.
+"""Pallas TPU kernel: fused low-rank block matvec, single U pass.
 
 The hottest op in the VI loop (SURVEY.md section 3.2) is the
 block-diagonal LD matvec  y_b = U_b (s_b * (U_b^T x_b)) + d_b * x_b  over
-all blocks b. It is HBM-bandwidth-bound: the U_b tensors dominate traffic
-(Pmax*Rmax elements vs Pmax for everything else). XLA expresses it as two
-batched matmuls and reads each U_b from HBM twice; this kernel streams
-each U_b tile through VMEM once and performs both contractions (MXU) plus
-the elementwise tail (VPU) in one pass — halving the dominant HBM
-traffic.
+all blocks b. At genome scale it is HBM-bandwidth-bound and the U_b
+tensors dominate traffic (Pmax*Rmax elements vs Pmax for everything
+else). XLA expresses it as two batched matmuls and streams each U_b from
+HBM twice per matvec; this kernel streams each U_b tile through VMEM
+once and performs both contractions (MXU) plus the elementwise tail
+(VPU) in one pass — halving the dominant traffic. It also takes C
+right-hand sides at once (cohorts sharing an LD panel,
+blocks.dot_multi), so C cohorts cost ONE U pass instead of 2*C.
 
-Grid: one program per block, with the U tile double-buffered by the
-Pallas pipeline ((1, P, R) blocks). The small per-block vectors (s, d, x,
-y) are held in VMEM in full (hundreds of KB for ~100 blocks) and indexed
-by program id.
+bf16 U is supported (the production `fit --ld-precision bf16` path):
+contractions run on the MXU with f32 accumulation, and the intermediate
+t = s * (U^T x) is re-cast to bf16 before the second contraction to
+match the XLA path's numerics (blocks._bucket_dot).
+
+Grid: one program per block. EVERY operand is tiled per block (the old
+kernel held s/d/x/y fully in VMEM — tens of MB at 6M SNPs); the Pallas
+pipeline double-buffers the U tile so the next block's DMA overlaps the
+current block's compute.
 """
 import jax
 import jax.numpy as jnp
@@ -21,53 +28,67 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(s_ref, d_ref, x_ref, u_ref, y_ref):
-    b = pl.program_id(0)
-    u = u_ref[0]                                  # [P, R]
-    x = x_ref[b][None, :]                         # [1, P]
-    t = jnp.dot(x, u, preferred_element_type=jnp.float32)   # [1, R]
-    t = t * s_ref[b][None, :]
+    u = u_ref[0]                                  # [P, R] (f32 or bf16)
+    x = x_ref[0]                                  # [C, P] f32
+    t = jnp.dot(x.astype(u.dtype), u,
+                preferred_element_type=jnp.float32)         # [C, R]
+    t = t * s_ref[0][None, :]
     y = jax.lax.dot_general(
-        t, u, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                 # [1, P]
-    y_ref[b, :] = (y + d_ref[b][None, :] * x)[0]
+        t.astype(u.dtype), u,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # [C, P]
+    y_ref[0] = (y + d_ref[0][None, :] * x).astype(y_ref.dtype)
 
 
 def supported(pmax, rmax, dtype):
     """Whether the fused kernel applies to this bucket."""
-    if dtype != jnp.float32:
+    if dtype not in (jnp.float32, jnp.bfloat16):
         return False
     if jax.config.jax_enable_x64:
         # Mosaic rejects the kernel under x64 (i64 program ids fail
         # func.return legalization); the f32 fast path never enables x64
         return False
-    if pmax * rmax * 4 > 8 * 1024 * 1024:   # U tile must fit VMEM (2 bufs)
+    itemsize = 2 if dtype == jnp.bfloat16 else 4
+    if pmax * rmax * itemsize > 8 * 1024 * 1024:  # U tile x 2 bufs in VMEM
         return False
-    return pmax >= 128 and rmax >= 128
+    return pmax % 128 == 0 and rmax % 128 == 0
 
 
-def bucket_matvec(u, s, d, x, interpret=False):
-    """y[b] = u[b] @ (s[b] * (u[b].T @ x[b])) + d[b] * x[b].
+def bucket_matvec_multi(u, s, d, x, interpret=False):
+    """y[b, c] = u[b] @ (s[b] * (u[b].T @ x[b, c])) + d[b] * x[b, c].
 
     Args:
-        u: [B, P, R]; s: [B, R]; d, x: [B, P].
-    Returns: [B, P].
+        u: [B, P, R] (f32 or bf16); s: [B, R]; d: [B, P]; x: [B, C, P].
+    Returns: [B, C, P] in x.dtype.
     """
     B, P, R = u.shape
+    C = x.shape[1]
     return pl.pallas_call(
         _kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # s (full)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # d (full)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # x (full)
+            pl.BlockSpec((1, R), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),      # s
+            pl.BlockSpec((1, P), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),      # d
+            pl.BlockSpec((1, C, P), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),      # x
             pl.BlockSpec((1, P, R), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),   # u (per-block tile)
+                         memory_space=pltpu.VMEM),      # u (streamed)
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, P), x.dtype),
+        out_specs=pl.BlockSpec((1, C, P), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, C, P), x.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * P * R,
-            bytes_accessed=4 * B * (P * R + R + 3 * P),
+            flops=4 * B * C * P * R,
+            bytes_accessed=u.dtype.itemsize * B * P * R
+            + 4 * B * (R + P + 2 * C * P),
             transcendentals=0),
         interpret=interpret,
     )(s, d, x, u)
+
+
+def bucket_matvec(u, s, d, x, interpret=False):
+    """Single-RHS form: u [B, P, R]; s [B, R]; d, x [B, P] -> [B, P]."""
+    return bucket_matvec_multi(u, s, d, x[:, None, :],
+                               interpret=interpret)[:, 0, :]
