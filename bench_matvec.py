@@ -105,6 +105,39 @@ def main():
     else:
         print('pallas fused 1-pass  : unsupported here')
 
+    # (b2) Pallas multi-RHS vs the XLA multi-RHS at the engine's C=2
+    if accel and pk.supported(big.pmax, big.rmax, big.u.dtype):
+        for C in (2, 4):
+            xcm = jax.device_put(
+                jnp.asarray(np.random.default_rng(3).standard_normal(
+                    (big.num_blocks, C, big.pmax)).astype(np.float32)),
+                device)
+            pal_multi = jax.jit(pk.bucket_matvec_multi)
+            t_pm = timeit(pal_multi, big.u, big.s, big.d, xcm)
+            print(f'pallas multi x{C} rhs  : {t_pm * 1e3:7.3f} ms  '
+                  f'({t_pm / C * 1e3:6.3f} ms per vector)')
+
+    # (b3) bf16 U: XLA two-pass vs Pallas (the production
+    # fit --ld-precision bf16 traffic)
+    if accel:
+        u16 = jax.device_put(jnp.asarray(big.u, jnp.bfloat16), device)
+
+        @jax.jit
+        def raw_bf16(u, s, d, xb):
+            t = jnp.einsum('bpr,bp->br', u, xb.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32) * s
+            return (jnp.einsum('bpr,br->bp', u, t.astype(jnp.bfloat16),
+                               preferred_element_type=jnp.float32)
+                    + d * xb)
+
+        t_r16 = timeit(raw_bf16, u16, big.s, big.d, xb)
+        print(f'raw two-pass bf16 U  : {t_r16 * 1e3:7.3f} ms  '
+              f'({big_bytes // 2 / t_r16 / 1e9:6.1f} GB/s, U once)')
+        if pk.supported(big.pmax, big.rmax, jnp.bfloat16):
+            t_p16 = timeit(jax.jit(pk.bucket_matvec), u16, big.s, big.d,
+                           xb)
+            print(f'pallas bf16 U        : {t_p16 * 1e3:7.3f} ms')
+
     # (c) full dot, XLA path (row-aligned gather/scatter included)
     blocks.enable_pallas(False)
     dot_x = jax.jit(blocks.dot)
@@ -129,6 +162,21 @@ def main():
 
     t_pair = timeit(pair, ld, x)
     print(f'2-pop pair (XLA)     : {t_pair * 1e3:7.3f} ms')
+
+    # (f) the shared-panel multi-RHS full path the engine actually uses
+    # for cohorts with one LD matrix (blocks.dot_multi)
+    x2 = jnp.stack([x, x * 0.5])
+
+    def _pair_multi(ld, x2):
+        return blocks.dot_multi(ld, x2).sum(axis=0)
+
+    t_pm2 = timeit(jax.jit(_pair_multi), ld, x2)
+    print(f'2-pop dot_multi (XLA): {t_pm2 * 1e3:7.3f} ms')
+    if accel:
+        blocks.enable_pallas(True)
+        t_pm2p = timeit(jax.jit(_pair_multi), ld, x2)
+        blocks.enable_pallas(False)
+        print(f'2-pop dot_multi (Pal): {t_pm2p * 1e3:7.3f} ms')
 
 
 if __name__ == '__main__':
