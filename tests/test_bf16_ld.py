@@ -11,7 +11,6 @@ full fit (posterior means within a fraction of the posterior SD).
 """
 import ml_dtypes
 import numpy as np
-import pytest
 
 from vilma_tpu.inference import engine
 from vilma_tpu.ops import blocks, lowrank

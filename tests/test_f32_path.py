@@ -13,7 +13,6 @@ def _fit(dtype):
                                        num_annotations=2, dtype=dtype,
                                        scale_se=True)
     state = synthetic.synthetic_state(data)
-    import dataclasses
     for _ in range(25):
         state, pm = engine.outer_step(data, state, line_search_rate=2.0)
     post = np.asarray(engine.posterior_mean(state.vi_mu, state.vi_delta))

@@ -1,6 +1,5 @@
 """Pallas kernel parity tests (interpret mode on CPU)."""
 import numpy as np
-import pytest
 import jax.numpy as jnp
 
 from vilma_tpu.ops.pallas import block_matvec as pk
@@ -52,7 +51,6 @@ def test_bucket_matvec_multi_matches_einsum():
 def test_bucket_matvec_bf16_matches_xla_path():
     """bf16 U: the kernel must agree with blocks' bf16 einsum path
     (f32 accumulation, t re-cast to bf16 before the second dot)."""
-    import ml_dtypes
     rng = np.random.default_rng(2)
     B, C, P, R = 2, 2, 128, 128
     u = jnp.asarray(rng.standard_normal((B, P, R)), dtype=jnp.bfloat16)

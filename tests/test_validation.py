@@ -5,7 +5,6 @@ posterior checks on small blocks validate the coordinate-ascent VI
 engine's answers against independent inference procedures.
 """
 import numpy as np
-import pytest
 import jax.numpy as jnp
 
 from vilma_tpu.ops import blocks

@@ -19,8 +19,6 @@ import dataclasses
 import numpy as np
 import jax.numpy as jnp
 
-from vilma_tpu.ops.blocks import PackedLD
-
 
 def _round_up(n, m):
     return -(-n // m) * m
