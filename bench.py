@@ -330,13 +330,40 @@ def _enable_compile_cache():
         pass
 
 
+def _accel_alive(timeout_s=None):
+    """Probe accelerator runtime liveness in a SUBPROCESS.
+
+    A wedged remote-TPU tunnel hangs inside backend init (jax.devices()
+    never returns), which would hang the whole benchmark; probing in a
+    killable child and pinning this process to CPU on failure keeps the
+    bench runnable during accelerator outages."""
+    import subprocess
+    import sys
+    if timeout_s is None:
+        timeout_s = int(os.environ.get('BENCH_PROBE_TIMEOUT', '240'))
+    try:
+        out = subprocess.run(
+            [sys.executable, '-c',
+             'import jax; print(any(d.platform != "cpu" '
+             'for d in jax.devices()))'],
+            capture_output=True, text=True, timeout=timeout_s)
+        return out.stdout.strip() == 'True'
+    except subprocess.TimeoutExpired:
+        print(f'accelerator probe timed out after {timeout_s}s; '
+              'falling back to CPU', file=sys.stderr)
+        return False
+
+
 def main():
+    have_accel = _accel_alive()
     import jax
+    if not have_accel:
+        # never init the (possibly hung) accelerator backend in-process
+        jax.config.update('jax_platforms', 'cpu')
     _enable_compile_cache()
     jax.config.update('jax_enable_x64', True)
 
     cpu = jax.devices('cpu')[0]
-    have_accel = any(d.platform != 'cpu' for d in jax.devices())
 
     # BENCH_CPU_IPS short-circuits the (slow, deterministic) host-CPU f64
     # baseline leg with a previously measured value, so the accelerator
