@@ -67,3 +67,42 @@ def test_bucket_matvec_bf16_matches_xla_path():
     assert np.allclose(got, expect, atol=1e-2)
     with __import__('jax').enable_x64(False):
         assert pk.supported(1024, 512, jnp.bfloat16)
+
+def _make_packed(row_aligned, dtype=np.float32):
+    from vilma_tpu.ops import blocks, lowrank
+    rng = np.random.default_rng(7)
+    factors, indices = [], []
+    n = 512
+    starts = [0, 128, 384] if row_aligned else [0, 130, 384]
+    sizes = [128, 256, 128] if row_aligned else [130, 200, 128]
+    for st, sz in zip(starts, sizes):
+        a = rng.standard_normal((sz, sz))
+        f = lowrank.factor_block(X=(a @ a.T) / sz + np.eye(sz), t=1.0,
+                                 check_symmetric=False)
+        factors.append(f)
+        indices.append(np.arange(st, st + sz))
+    return blocks.pack(factors, indices, n, dtype=dtype)
+
+
+def test_dot_integration_pallas_interpret():
+    """Full dot/dot_multi through the Pallas kernel (interpret mode):
+    the gather/scatter + row-aligned routing around the kernel must
+    produce the XLA path's values on both layouts."""
+    from vilma_tpu.ops import blocks
+    rng = np.random.default_rng(8)
+    for aligned in (True, False):
+        ld = _make_packed(aligned)
+        assert ld.row_aligned == aligned
+        x = jnp.asarray(rng.standard_normal(ld.n), dtype=jnp.float32)
+        x2 = jnp.stack([x, 0.5 * x - 1.0])
+        blocks.enable_pallas(False)
+        want = np.asarray(blocks.dot(ld, x))
+        want2 = np.asarray(blocks.dot_multi(ld, x2))
+        try:
+            blocks.enable_pallas(True, interpret=True)
+            got = np.asarray(blocks.dot(ld, x))
+            got2 = np.asarray(blocks.dot_multi(ld, x2))
+        finally:
+            blocks.enable_pallas(False)
+        assert np.allclose(got, want, atol=1e-4), aligned
+        assert np.allclose(got2, want2, atol=1e-4), aligned

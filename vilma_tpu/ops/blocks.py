@@ -395,17 +395,25 @@ def _scatter_accumulate(parts, n, dtype):
 #: other backends use the XLA batched-einsum path.
 _USE_PALLAS = False
 
+#: Run the Pallas kernel in interpret mode (pure-JAX emulation) — lets
+#: CPU tests exercise the full dot/dot_multi integration path (gather,
+#: kernel, row-aligned scatter) without TPU hardware.
+_PALLAS_INTERPRET = False
 
-def enable_pallas(on=True):
-    global _USE_PALLAS
+
+def enable_pallas(on=True, interpret=False):
+    global _USE_PALLAS, _PALLAS_INTERPRET
     _USE_PALLAS = bool(on)
+    _PALLAS_INTERPRET = bool(interpret)
 
 
 def _bucket_dot(bk, xb):
     if _USE_PALLAS:
         from vilma_tpu.ops.pallas import block_matvec as pk
-        if pk.supported(bk.pmax, bk.rmax, bk.u.dtype):
-            return pk.bucket_matvec(bk.u, bk.s, bk.d, xb)
+        if _PALLAS_INTERPRET or pk.supported(bk.pmax, bk.rmax,
+                                             bk.u.dtype):
+            return pk.bucket_matvec(bk.u, bk.s, bk.d, xb,
+                                    interpret=_PALLAS_INTERPRET)
     if bk.u.dtype == jnp.bfloat16:
         # feed the MXU bf16 operands with f32 accumulation directly: a
         # plain einsum would type-promote u to f32 first, materializing a
@@ -430,8 +438,10 @@ def _bucket_dot_multi(bk, xb):
     padding tax)."""
     if _USE_PALLAS:
         from vilma_tpu.ops.pallas import block_matvec as pk
-        if pk.supported(bk.pmax, bk.rmax, bk.u.dtype):
-            return pk.bucket_matvec_multi(bk.u, bk.s, bk.d, xb)
+        if _PALLAS_INTERPRET or pk.supported(bk.pmax, bk.rmax,
+                                             bk.u.dtype):
+            return pk.bucket_matvec_multi(bk.u, bk.s, bk.d, xb,
+                                          interpret=_PALLAS_INTERPRET)
     if bk.u.dtype == jnp.bfloat16:
         t = jnp.einsum('bpr,bcp->bcr', bk.u, xb.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
