@@ -106,3 +106,34 @@ def test_dot_integration_pallas_interpret():
             blocks.enable_pallas(False)
         assert np.allclose(got, want, atol=1e-4), aligned
         assert np.allclose(got2, want2, atol=1e-4), aligned
+
+def test_engine_fit_pallas_interpret_matches_xla():
+    """Five outer VI steps with the Pallas matvec enabled (interpret)
+    must track the XLA path — guards kernel enablement on TPU from
+    silently changing fit trajectories."""
+    from vilma_tpu.inference import engine
+    from vilma_tpu.ops import blocks
+    from vilma_tpu.utils import synthetic
+
+    data = synthetic.synthetic_problem(num_loci=256, num_pops=2,
+                                       num_components=3, block_size=128,
+                                       num_annotations=2,
+                                       dtype=np.float32)
+
+    def run():
+        st = synthetic.synthetic_state(data)
+        for _ in range(5):
+            st, pm = engine.outer_step(data, st, line_search_rate=2.0)
+        return np.asarray(pm), float(st.elbo)
+
+    pm_x, elbo_x = run()
+    try:
+        blocks.enable_pallas(True, interpret=True)
+        engine.outer_step.clear_cache()
+        pm_p, elbo_p = run()
+    finally:
+        blocks.enable_pallas(False)
+        engine.outer_step.clear_cache()
+    scale = np.abs(pm_x).max()
+    assert np.allclose(pm_p, pm_x, atol=1e-5 * scale)
+    assert abs(elbo_p - elbo_x) <= 1e-5 * abs(elbo_x)
