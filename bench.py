@@ -277,9 +277,13 @@ def accel_main():
     # BENCH_LD_DTYPE=f32 opts back out
     os.environ.setdefault('BENCH_LD_DTYPE', 'bf16')
     _enable_compile_cache()
-    jax.config.update('jax_enable_x64', True)
+    # NOTE: x64 stays OFF, matching `fit --precision f32` (the production
+    # accelerator path): everything here is f32, and enabling x64 would
+    # disqualify the Pallas matvec (Mosaic rejects i64 program ids).
     accel = [d for d in jax.devices() if d.platform != 'cpu'][0]
-    if os.environ.get('BENCH_PALLAS') == '1':
+    if os.environ.get('BENCH_PALLAS', '1') != '0':
+        # default ON: measured 2-3x over the XLA bf16 two-pass and ~parity
+        # on f32 (bench_matvec.py; PARITY.md round-2 kernel findings)
         from vilma_tpu.ops import blocks
         blocks.enable_pallas(True)
     data32, state32 = _build(np.float32, accel)

@@ -23,13 +23,17 @@ def test_bucket_matvec_matches_einsum():
 def test_supported_policy():
     import jax
     # tests run with x64 enabled, where the kernel is always refused
-    # (Mosaic rejects i64 program ids); check the f32-mode policy too
+    # (Mosaic rejects i64 program ids)
     assert not pk.supported(1024, 512, jnp.float32)
     with jax.enable_x64(False):
-        assert pk.supported(1024, 512, jnp.float32)
-        assert not pk.supported(8, 8, jnp.float32)
-        assert not pk.supported(1024, 512, jnp.float64)
-        assert not pk.supported(8192, 8192, jnp.float32)
+        # on CPU supported() still refuses (Mosaic is TPU-only); the
+        # shape/dtype policy itself:
+        assert pk.supported(1024, 512, jnp.float32) == (
+            jax.default_backend() != 'cpu')
+        assert pk.shape_supported(1024, 512, jnp.float32)
+        assert not pk.shape_supported(8, 8, jnp.float32)
+        assert not pk.shape_supported(1024, 512, jnp.float64)
+        assert not pk.shape_supported(8192, 8192, jnp.float32)
 
 
 def test_bucket_matvec_multi_matches_einsum():
@@ -65,8 +69,7 @@ def test_bucket_matvec_bf16_matches_xla_path():
                    preferred_element_type=jnp.float32)
         + d[:, None, :] * x)
     assert np.allclose(got, expect, atol=1e-2)
-    with __import__('jax').enable_x64(False):
-        assert pk.supported(1024, 512, jnp.bfloat16)
+    assert pk.shape_supported(1024, 512, jnp.bfloat16)
 
 def _make_packed(row_aligned, dtype=np.float32):
     from vilma_tpu.ops import blocks, lowrank

@@ -129,6 +129,13 @@ def args(super_parser):
                         help='Write a jax profiler trace of the '
                              'optimization to this directory '
                              '(view with TensorBoard/XProf).')
+    parser.add_argument('--pallas', type=str, default='auto',
+                        choices=['auto', 'on', 'off'],
+                        help='Use the fused Pallas TPU block-matvec '
+                             'kernel for LD buckets it supports. auto '
+                             'enables it for --precision f32 on an '
+                             'accelerator (measured 2-3x over the XLA '
+                             'two-pass on bf16 LD; see PARITY.md).')
     parser.add_argument('--align-layout', dest='align_layout',
                         action='store_true',
                         help='Relayout the problem so LD blocks occupy '
@@ -194,6 +201,12 @@ def main(args):
     # BEFORE loading, so each process loads/eigendecomposes only its own
     # LD blocks (parallel.distributed.load_ld_sharded)
     import jax
+    if args.pallas == 'on' or (args.pallas == 'auto'
+                               and args.precision == 'f32'
+                               and any(d.platform != 'cpu'
+                                       for d in jax.devices())):
+        from vilma_tpu.ops import blocks
+        blocks.enable_pallas(True)
     if args.distributed:
         from vilma_tpu.parallel import distributed
         distributed.initialize(args.coordinator or None,

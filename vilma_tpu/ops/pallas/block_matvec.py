@@ -32,26 +32,35 @@ def _kernel(s_ref, d_ref, x_ref, u_ref, y_ref):
     x = x_ref[0]                                  # [C, P] f32
     t = jnp.dot(x.astype(u.dtype), u,
                 preferred_element_type=jnp.float32)         # [C, R]
-    t = t * s_ref[0][None, :]
+    t = t * s_ref[0]                              # s tile is [1, R]
     y = jax.lax.dot_general(
         t.astype(u.dtype), u,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                 # [C, P]
-    y_ref[0] = (y + d_ref[0][None, :] * x).astype(y_ref.dtype)
+    y_ref[0] = (y + d_ref[0] * x).astype(y_ref.dtype)       # d tile [1, P]
 
 
-def supported(pmax, rmax, dtype):
-    """Whether the fused kernel applies to this bucket."""
+def shape_supported(pmax, rmax, dtype):
+    """Whether the kernel's tiling applies to this bucket shape/dtype."""
     if dtype not in (jnp.float32, jnp.bfloat16):
-        return False
-    if jax.config.jax_enable_x64:
-        # Mosaic rejects the kernel under x64 (i64 program ids fail
-        # func.return legalization); the f32 fast path never enables x64
         return False
     itemsize = 2 if dtype == jnp.bfloat16 else 4
     if pmax * rmax * itemsize > 8 * 1024 * 1024:  # U tile x 2 bufs in VMEM
         return False
     return pmax % 128 == 0 and rmax % 128 == 0
+
+
+def supported(pmax, rmax, dtype):
+    """Whether the fused kernel applies to this bucket here and now."""
+    if jax.default_backend() == 'cpu':
+        # Mosaic compiles for TPU only; CPU callers use the XLA path
+        # (or interpret mode, which bypasses this check)
+        return False
+    if jax.config.jax_enable_x64:
+        # Mosaic rejects the kernel under x64 (i64 program ids fail
+        # func.return legalization); the f32 fast path never enables x64
+        return False
+    return shape_supported(pmax, rmax, dtype)
 
 
 def bucket_matvec_multi(u, s, d, x, interpret=False):
@@ -63,13 +72,16 @@ def bucket_matvec_multi(u, s, d, x, interpret=False):
     """
     B, P, R = u.shape
     C = x.shape[1]
+    # Mosaic requires each block's last two dims to be (8,128)-divisible
+    # or equal to the array dims; carry s/d with a singleton middle axis
+    # so their [1, 1, *] tiles are legal.
     return pl.pallas_call(
         _kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, R), lambda b: (b, 0),
+            pl.BlockSpec((1, 1, R), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),      # s
-            pl.BlockSpec((1, P), lambda b: (b, 0),
+            pl.BlockSpec((1, 1, P), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),      # d
             pl.BlockSpec((1, C, P), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),      # x
@@ -85,7 +97,7 @@ def bucket_matvec_multi(u, s, d, x, interpret=False):
             + 4 * B * (R + P + 2 * C * P),
             transcendentals=0),
         interpret=interpret,
-    )(s, d, x, u)
+    )(s[:, None, :], d[:, None, :], x, u)
 
 
 def bucket_matvec(u, s, d, x, interpret=False):
