@@ -22,15 +22,26 @@ def _fetch(x):
 
 
 def main():
+    import functools as ft
+    import os
+
     import jax
     import jax.numpy as jnp
     from jax import lax
 
-    jax.config.update('jax_enable_x64', True)
     import bench
     from vilma_tpu.inference import engine
+    from vilma_tpu.ops import blocks
 
+    bench._enable_compile_cache()
     accel = [d for d in jax.devices() if d.platform != 'cpu']
+    if not accel:
+        jax.config.update('jax_enable_x64', True)  # CPU f64 parity mode
+    # accelerator mode stays x64-OFF like fit --precision f32 / the bench
+    # accel leg (x64 also disqualifies the Pallas kernel)
+    if os.environ.get('BENCH_PALLAS', '0') == '1':
+        blocks.enable_pallas(True)
+        print('pallas: enabled')
     device = accel[0] if accel else jax.devices()[0]
     dtype = np.float32 if accel else np.float64
     print('device:', device, 'dtype:', dtype.__name__)

@@ -58,8 +58,9 @@ def test_row_aligned_under_mesh_padding():
     from vilma_tpu.parallel import mesh as mesh_mod
     from vilma_tpu.utils import synthetic
 
-    if len(jax.devices()) < 8:
-        return
+    assert len(jax.devices()) >= 8, (
+        'conftest.py must provide 8 simulated CPU devices; failing loudly '
+        'instead of skipping so sharding coverage cannot silently vanish')
     data = synthetic.synthetic_problem(num_loci=1024, num_pops=2,
                                        num_components=2, block_size=128,
                                        num_annotations=2)
@@ -74,3 +75,32 @@ def test_row_aligned_under_mesh_padding():
         st2, pm2 = engine.outer_step(sdata, sstate, line_search_rate=2.0)
     assert np.allclose(np.asarray(pm1), np.asarray(pm2), rtol=1e-9,
                        atol=1e-11)
+
+
+def test_row_aligned_pad_tail_invariant():
+    """Pin the contract the fast path's neighbour-row reads rely on
+    (blocks._dot_row_aligned): gather rows past a block's live extent may
+    contain the NEXT block's vector data, which is harmless only because
+    (a) the padded u/d rows beyond each block's true size are all zero, so
+    neighbour values cannot contribute to the product, and (b) scatter
+    rows past the live extent are routed to the trash row (srows == -1).
+    A future bucket-tier or packing change that breaks either leg would
+    corrupt results silently; this test makes it fail loudly instead."""
+    rng = np.random.default_rng(7)
+    sizes = [128, 200, 256, 1000, 900]          # mixed tiers, ragged tails
+    ld, n = _aligned_problem(rng, sizes, n_extra=64)
+    assert ld.row_aligned
+    for bk in ld.buckets:
+        perm = np.asarray(bk.perm)
+        u = np.asarray(bk.u)
+        d = np.asarray(bk.d)
+        srows = np.asarray(bk.srows)
+        for b in range(bk.num_blocks):
+            live = int((perm[b] < n).sum())
+            # (a) zero pad rows beyond the block's true extent
+            assert not np.any(u[b, live:]), 'pad u rows must stay zero'
+            assert not np.any(d[b, live:]), 'pad d rows must stay zero'
+            # (b) scatter routing: live rows target real rows, the rest -1
+            live_rows = -(-live // 128)
+            assert np.all(srows[b, :live_rows] >= 0)
+            assert np.all(srows[b, live_rows:] == -1)
