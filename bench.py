@@ -23,8 +23,8 @@ import numpy as np
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          '.bench_cache')
 
-# BENCH_SIZE=1m selects the genome-scale configuration; BENCH_PALLAS=1
-# enables the fused Pallas block-matvec kernel on TPU.
+# BENCH_SIZE=1m selects the genome-scale configuration; BENCH_PALLAS=0
+# disables the fused Pallas block-matvec kernel (default ON on TPU).
 _SIZE = os.environ.get('BENCH_SIZE', '100k')
 if _SIZE == '6m':
     NUM_LOCI = 6_000_000

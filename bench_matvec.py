@@ -49,12 +49,21 @@ def _make_timer():
             return time.perf_counter() - t0
 
         run(probe_n, x0)                         # compile + warmup
-        t_est = run(probe_n, x0) / probe_n
-        n = max(probe_n, int(target_s / max(t_est, 1e-9)))
+        # the probe estimate includes the full tunnel RTT / probe_n, which
+        # undersizes chains for sub-ms kernels and leaves their reported
+        # times RTT-inflated; subtract the measured fetch RTT, then grow
+        # the chain until one rep's wall time actually reaches the target
+        rtt = min(run(0, x0) for _ in range(3))
+        t_est = max((run(probe_n, x0) - rtt) / probe_n, 1e-9)
+        n = max(probe_n, int(target_s / t_est))
         n = 1 << (n - 1).bit_length()            # round up to a power of
         # two so repeated runs reuse the persistent compile cache
-        best = min(run(n, x0) for _ in range(3))
-        return best / n
+        wall = run(n, x0)
+        while wall < 0.8 * target_s and n < (1 << 20):
+            n *= 2
+            wall = run(n, x0)
+        best = min(wall, *(run(n, x0) for _ in range(2)))
+        return (best - rtt) / n
 
     return timeit
 

@@ -22,7 +22,6 @@ def _fetch(x):
 
 
 def main():
-    import functools as ft
     import os
 
     import jax
@@ -38,8 +37,10 @@ def main():
     if not accel:
         jax.config.update('jax_enable_x64', True)  # CPU f64 parity mode
     # accelerator mode stays x64-OFF like fit --precision f32 / the bench
-    # accel leg (x64 also disqualifies the Pallas kernel)
-    if os.environ.get('BENCH_PALLAS', '0') == '1':
+    # accel leg (x64 also disqualifies the Pallas kernel).
+    # BENCH_PALLAS default matches bench.py's accel leg (ON unless '0')
+    # so this decomposition times the same program the benchmark ran.
+    if accel and os.environ.get('BENCH_PALLAS', '1') != '0':
         blocks.enable_pallas(True)
         print('pallas: enabled')
     device = accel[0] if accel else jax.devices()[0]
@@ -52,7 +53,6 @@ def main():
     # (~tens of ms, jittery); measure it and use enough reps that the
     # residual RTT/reps bias is negligible (see PARITY.md "Lazy vi_sigma
     # summaries" postscript: 5-step bench chains were RTT-dominated)
-    import jax.numpy as jnp
     z = jax.jit(lambda: jnp.zeros(()))
     _fetch(z())
     t0 = time.perf_counter()

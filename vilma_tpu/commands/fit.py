@@ -199,18 +199,26 @@ def main(args):
 
     # multi-host runs initialize the cluster and build the global mesh
     # BEFORE loading, so each process loads/eigendecomposes only its own
-    # LD blocks (parallel.distributed.load_ld_sharded)
-    import jax
-    if args.pallas == 'on' or (args.pallas == 'auto'
-                               and args.precision == 'f32'
-                               and any(d.platform != 'cpu'
-                                       for d in jax.devices())):
-        from vilma_tpu.ops import blocks
-        blocks.enable_pallas(True)
+    # LD blocks (parallel.distributed.load_ld_sharded). This must also
+    # happen before anything touches jax.devices(): backend init after
+    # jax.distributed.initialize() is required, not the reverse.
     if args.distributed:
         from vilma_tpu.parallel import distributed
         distributed.initialize(args.coordinator or None,
                                args.num_processes, args.process_id)
+    import jax
+    # auto only enables the Mosaic kernel where it was validated: TPU
+    # backend, f32 fast path, no mesh sharding (pallas_call has no SPMD
+    # partitioning rule for the snp-sharded BlockBucket.u). --pallas on
+    # is an explicit override for experiments.
+    if args.pallas == 'on' or (args.pallas == 'auto'
+                               and args.precision == 'f32'
+                               and not args.mesh
+                               and jax.process_count() == 1
+                               and any(d.platform == 'tpu'
+                                       for d in jax.devices())):
+        from vilma_tpu.ops import blocks
+        blocks.enable_pallas(True)
     mesh = None
     if args.mesh:
         from vilma_tpu.parallel import mesh as mesh_mod

@@ -52,8 +52,8 @@ def shape_supported(pmax, rmax, dtype):
 
 def supported(pmax, rmax, dtype):
     """Whether the fused kernel applies to this bucket here and now."""
-    if jax.default_backend() == 'cpu':
-        # Mosaic compiles for TPU only; CPU callers use the XLA path
+    if jax.default_backend() != 'tpu':
+        # Mosaic compiles for TPU only; CPU/GPU callers use the XLA path
         # (or interpret mode, which bypasses this check)
         return False
     if jax.config.jax_enable_x64:
