@@ -60,7 +60,8 @@ def compute_trace(block_ld_mat, one_hot_annotations):
     """
     one_hot_annotations = np.asarray(one_hot_annotations)
     if not np.all(one_hot_annotations.sum(axis=1) == 1):
-        raise ValueError('one_hot_annotations must be one-hot encoded.')
+        raise ValueError('Annotation rows must be one-hot (exactly one '
+                         '1 per row).')
 
     ld_diags = np.asarray(blocks.diag(block_ld_mat))
     present = np.ones(ld_diags.shape[0])
@@ -94,14 +95,14 @@ def combine_vars(ld_schema):
 
 def _validate(args):
     if args.trace_annotations and not args.trace:
-        raise ValueError('If --trace-annotations is provided then '
-                         '--trace must also be provided.')
+        raise ValueError('--trace-annotations only makes sense '
+                         'together with --trace.')
     if args.trace_ldthresh != 1 and not args.trace:
-        raise ValueError('If --trace-ldthresh is provided then '
-                         '--trace must also be provided.')
+        raise ValueError('--trace-ldthresh only makes sense together '
+                         'with --trace.')
     if not args.trace and not args.listvars:
-        raise ValueError('If neither --trace nor --listvars '
-                         'are provided, then this command does nothing.')
+        raise ValueError('Nothing to do: pass --trace and/or '
+                         '--listvars.')
 
 
 def _run_trace(args, all_vars):

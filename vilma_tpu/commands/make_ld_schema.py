@@ -72,7 +72,8 @@ def _get_ld_blocks(bedfile_name):
         starts = sub.start.to_numpy()
         ends = sub.end.to_numpy()
         if np.any(starts[1:] < ends[:-1]):
-            raise ValueError('Bedfile contains an overlapping interval')
+            raise ValueError('The LD-block bed file has overlapping '
+                         'intervals.')
         per_chrom[str(chrom)] = sub
     return per_chrom
 
@@ -137,11 +138,11 @@ def _assign_to_blocks(blocks, plink_data, variants=None):
     chroms = np.asarray([str(lo.chromosome) for lo in loci])
     chromosome = chroms[0]
     if chromosome not in blocks:
-        raise ValueError('Plink File contains a chromosome '
-                         'that is not in the bedfile.')
+        raise ValueError('A plink file references a chromosome absent '
+                         'from the LD-block bed file.')
     if np.any(chroms != chromosome):
-        raise ValueError('Each plink file should contain exactly one '
-                         'chromosome.')
+        raise ValueError('Expected a single chromosome per plink '
+                         'file; this one mixes several.')
 
     bp = np.asarray([lo.bp_position for lo in loci], dtype=np.int64)
     starts = blocks[chromosome].start.to_numpy()
@@ -200,8 +201,8 @@ def _write_block(out_root, key, payload, ldthresh):
 def _load_extract_set(extract_path):
     frame = pd.read_csv(extract_path, sep=r'\s+', header=0)
     if 'ID' not in frame.columns:
-        raise ValueError(extract_path + ' must contain '
-                         'a column labeled ID')
+        raise ValueError('The extract file ' + extract_path
+                         + ' has no ID column.')
     return set(frame['ID'])
 
 
@@ -215,8 +216,8 @@ def main(args):
         variants = _load_extract_set(args.extract)
 
     if os.path.exists(args.out_root + '.schema'):
-        raise ValueError(args.out_root + '.schema already exists. '
-                         'Please delete before running.')
+        raise ValueError('Refusing to overwrite the existing manifest '
+                         + args.out_root + '.schema; delete it first.')
 
     list_path = Path(args.plink_file_list)
     with open(list_path, 'r') as manifest:

@@ -141,13 +141,14 @@ def _load_weights(weights_path, num_annotations, num_components):
     else:
         weights = np.asarray(loaded)
     if weights.shape[0] != num_annotations:
-        raise ValueError('The shape of the weights does not match the '
-                         'number of annotations.')
+        raise ValueError('Weight rows must equal the number of '
+                         'annotation categories.')
     if weights.shape[1] != num_components:
-        raise ValueError('The shape of the weights does not match the '
-                         'number of covariance matrices.')
+        raise ValueError('Weight columns must equal the number of '
+                         'mixture covariance matrices.')
     if not np.allclose(weights.sum(axis=1), 1.):
-        raise ValueError('weights do not sum to 1 within each annotation.')
+        raise ValueError('Each annotation row of the weights must sum '
+                         'to 1.')
     return weights
 
 

@@ -584,40 +584,40 @@ def build_model_data(marginal_effects, std_errs, ld_mats, annotations,
         dtype = marginal_effects.dtype
     eps = epsilon(dtype)
     if not np.all(np.isfinite(marginal_effects)):
-        raise ValueError('Encountered an infinite or NaN value in the '
-                         'GWAS effect size estimates')
+        raise ValueError('The GWAS effect-size estimates contain a '
+                         'non-finite (NaN or infinite) value.')
     if not np.all(np.isfinite(std_errs)):
-        raise ValueError('Encountered an infinity or NaN value in the '
-                         'GWAS standard errors')
+        raise ValueError('The GWAS standard errors contain a '
+                         'non-finite (NaN or infinite) value.')
     num_pops, num_loci = marginal_effects.shape
     if len(ld_mats) != num_pops:
-        raise ValueError('Fewer LD matrices than populations.')
+        raise ValueError('One LD matrix is required per population.')
     for ld in ld_mats:
         if not isinstance(ld, blocks_mod.PackedLD):
             raise ValueError('LD Matrices must be of type PackedLD.')
         if ld.shape != (num_loci, num_loci):
-            raise ValueError('LD matrix shape does not match '
-                             'GWAS marginal effect size shape.')
+            raise ValueError('An LD matrix has a different variant '
+                             'count than the GWAS effect sizes.')
     annotations = np.asarray(annotations)
     row_sums = annotations.sum(axis=1)
     # all-zero rows are layout-pad sentinels (parallel/alignment.py);
     # anything else must be exactly one-hot (reference
     # variational_inference.py:197-199)
     if not np.all(np.isclose(row_sums, 1) | (row_sums == 0)):
-        raise ValueError('Some SNPs are either missing annotations '
-                         'or have more than one annotation.')
+        raise ValueError('Every SNP needs exactly one annotation; '
+                         'found rows with zero or several.')
     if annotations.shape[0] != num_loci:
-        raise ValueError('annotations dimension does not match GWAS '
-                         'marginal effect size shape.')
+        raise ValueError('The annotation matrix has a different '
+                         'variant count than the GWAS effect sizes.')
 
     mixture_covs = np.asarray(mixture_covs)
     if mixture_covs.shape[1:] != (num_pops, num_pops):
-        raise ValueError('Mixture component has a covariance matrix of '
-                         'the wrong shape.')
+        raise ValueError('Mixture-component covariance matrices must '
+                         'be [num_pops x num_pops].')
     signs, log_det = np.linalg.slogdet(mixture_covs)
     if not np.all(signs == 1):
-        raise ValueError('Mixture component has a non-positive definite '
-                         'covariance matrix.')
+        raise ValueError('Every mixture-component covariance matrix '
+                         'must be positive definite.')
     mixture_prec = np.linalg.inv(mixture_covs)
 
     if scaled:
@@ -676,8 +676,9 @@ def build_model_data(marginal_effects, std_errs, ld_mats, annotations,
 
     ld_diags_np = _fetch(ld_diags)
     if not np.allclose(_fetch(adj)[np.isclose(ld_diags_np, 0)], 0):
-        raise ValueError('Some SNPs that are missing in the LD matrix '
-                         'are not being treated as missing.')
+        raise ValueError('SNPs absent from the LD matrix have nonzero '
+                         'adjusted marginal effects; they should have '
+                         'been marked missing upstream.')
 
     num_annotations = annotations.shape[1]
     annot_idx = np.where(row_sums > 0, np.argmax(annotations, axis=1),
@@ -888,7 +889,7 @@ class MultiPopVI:
         fake_mu = np.zeros((self.num_pops, self._padded_loci),
                            dtype=self.data.marginal_effects.dtype)
         fake_mu[:, ix] = fake
-        logging.info('Largest inverse_beta is %f',
+        logging.info('Max |inverse_beta| at initialization: %f',
                      float(np.max(np.abs(_fetch(
                          self.data.inverse_betas)))))
         vi_mu, vi_delta, hyper, nat_vd = initialize_from_fake_mu(
@@ -904,9 +905,8 @@ class MultiPopVI:
                                       loaded_checkpoint):
             error_scaling = loaded_checkpoint['error_scaling']
         else:
-            logging.warning('Did not find "error_scaling" in the loaded '
-                            'checkpoint. That is okay, but we will have '
-                            'to assume that the error scalings are 1.')
+            logging.warning('The checkpoint carries no "error_scaling" '
+                            'entry; defaulting all error scalings to 1.')
         st = self._fresh_state(error_scaling)
         nat_vd = _vi_delta_grad_jit(
             np.asarray(loaded_checkpoint['hyper_delta'], dtype=dtype),

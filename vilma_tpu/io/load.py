@@ -27,12 +27,13 @@ def load_variant_list(variant_filename):
     variants = pd.read_csv(variant_filename, header=0,
                            **_WS).drop_duplicates(ignore_index=True)
     if 'ID' not in variants.columns:
-        raise ValueError('Variant file must contain a column labeled ID')
+        raise ValueError('The variant list has no ID column.')
     if 'A1' not in variants.columns:
-        raise ValueError('Variant file must contain a column labeled A1')
+        raise ValueError('The variant list has no A1 column.')
     if 'A2' not in variants.columns:
         if 'REF' not in variants.columns or 'ALT' not in variants.columns:
-            raise ValueError('Variant file must contain a column labeled A2')
+            raise ValueError('The variant list needs an A2 column (or '
+                             'REF and ALT columns to derive one).')
         variants['A2'] = variants['REF'].copy()
         flip = variants['A1'] == variants['REF']
         variants.loc[flip, 'A2'] = variants.loc[flip, 'ALT'].copy()
@@ -51,18 +52,17 @@ def load_annotations(annotations_filename, variants):
 
     dframe = pd.read_csv(annotations_filename, header=0, **_WS)
     if 'ID' not in dframe.columns:
-        raise ValueError('Annotation file must contain a column labeled ID')
+        raise ValueError('The annotation file has no ID column.')
     if 'ANNOTATION' not in dframe.columns:
-        raise ValueError('Annotation file must contain a column labeled '
-                         'ANNOTATION')
+        raise ValueError('The annotation file has no ANNOTATION column.')
 
     dframe = pd.merge(variants, dframe, on='ID', how='left')
     dframe = pd.DataFrame(dframe['ANNOTATION'])
     num_missing = int(dframe['ANNOTATION'].isna().sum())
     if num_missing > 0:
-        logging.warning('%d out of %d total variants are missing '
-                        'annotations. These will get set to having the '
-                        'first annotation!', num_missing, dframe.shape[0])
+        logging.warning('No annotation found for %d of %d variants; '
+                        'assigning them the first annotation category.',
+                        num_missing, dframe.shape[0])
     denylist = np.where(dframe['ANNOTATION'].isna())[0].tolist()
     dframe.loc[dframe['ANNOTATION'].isna(), 'ANNOTATION'] = 0
     one_hot = pd.get_dummies(dframe['ANNOTATION'],
@@ -80,27 +80,24 @@ def load_sumstats(sumstats_filename, variants):
     """
     header = pd.read_csv(sumstats_filename, nrows=1, header=0, **_WS)
     if 'ID' not in header.columns:
-        raise ValueError('Summary Statistics File must contain a column '
-                         'labeled ID')
+        raise ValueError('The summary statistics file has no ID column.')
     if 'A1' not in header.columns:
-        raise ValueError('Summary Statistics File must contain a column '
-                         'labeled A1')
+        raise ValueError('The summary statistics file has no A1 column.')
     a2_cols = ['A2']
     if 'A2' not in header.columns:
         a2_cols = ['REF', 'ALT']
         if 'REF' not in header.columns or 'ALT' not in header.columns:
-            raise ValueError('If summary statistics file does not contain '
-                             'a column labeled A2, then it must contain REF '
-                             'and ALT columns.')
+            raise ValueError('The summary statistics file needs an A2 '
+                             'column (or REF and ALT columns to derive '
+                             'one).')
     if 'SE' not in header.columns:
-        raise ValueError('Summary Statistics File must contain a column '
-                         'labeled SE')
+        raise ValueError('The summary statistics file has no SE column.')
     effect_col = 'BETA'
     if 'BETA' not in header.columns:
         effect_col = 'OR'
         if 'OR' not in header.columns:
-            raise ValueError('Summary stat file needs to contain either'
-                             'BETA or OR filed.')
+            raise ValueError('The summary statistics file needs an '
+                             'effect-size column: either BETA or OR.')
 
     sumstats = pd.read_csv(
         sumstats_filename, header=0,
@@ -122,9 +119,10 @@ def load_sumstats(sumstats_filename, variants):
     missing = (sumstats.BETA.isna()
                | sumstats.SE.isna()
                | ((~stay_allele) & (~flip_allele)))
-    logging.warning('%d out of %d total variants are missing sumstats',
+    logging.warning('No usable summary statistics for %d of %d variants.',
                     int(missing.sum()), sumstats.shape[0])
-    logging.warning('%d alleles have been flipped', int(flip_allele.sum()))
+    logging.warning('Allele order flipped for %d variants.',
+                    int(flip_allele.sum()))
     sumstats.loc[missing, 'BETA'] = 0.
     sumstats.loc[missing, 'SE'] = 1.
     sumstats.loc[flip_allele, 'BETA'] = -sumstats.loc[flip_allele, 'BETA']
@@ -155,8 +153,8 @@ def load_ld_mat(ld_path, variant_indices=None, mismatch=None, signs=None):
     ld_matrix = np.load(ld_path)
 
     if signs is not None and not np.allclose(np.asarray(signs) ** 2, 1):
-        raise ValueError('signs must be a vector consisting entirely of '
-                         '+1s and -1s.')
+        raise ValueError('Every entry of the sign-flip vector must be '
+                         '+1 or -1.')
     if len(ld_matrix.shape) == 0:
         return ld_matrix[None, None]
 
@@ -176,18 +174,19 @@ def load_ld_mat(ld_path, variant_indices=None, mismatch=None, signs=None):
         # symmetric by construction); eigh reads one triangle, so a corrupt
         # file must be rejected here (reference matrix_structures.py:102-103)
         if not np.allclose(ld_matrix, ld_matrix.T):
-            raise ValueError('Provided matrix is not symmetric')
+            raise ValueError('The LD matrix on disk is not symmetric.')
         accepted = np.copy(ld_matrix[np.ix_(variant_indices,
                                             variant_indices)])
         accepted = accepted * np.outer(signs, signs)
         return accepted[np.ix_(~mismatch, ~mismatch)]
 
     if ld_matrix.shape[0] < ld_matrix.shape[1]:
-        raise ValueError('Bad LD matrix.')
+        raise ValueError('Unrecognized LD matrix layout: wider than tall.')
 
     num_snps = ld_matrix.shape[0] - 1
     if num_snps != variant_indices.shape[0]:
-        raise ValueError('Bad LD matrix.')
+        raise ValueError('Stacked-eigendecomposition LD matrix row count '
+                         'does not match its .var file.')
     u_mat = np.copy(ld_matrix[0:num_snps])
     s_vec = np.copy(ld_matrix[num_snps])
     u_mat = u_mat[variant_indices, :]
@@ -214,8 +213,8 @@ def matched_schema_entries(schema_path, variants, denylist):
         snp_metadata = pd.read_csv(snp_path, header=None,
                                    names=['ID', 'CHROM', 'BP',
                                           'CM', 'A1', 'A2'], **_WS)
-        logging.info('LD matrix shape: %s',
-                     ((snp_metadata.shape[0], snp_metadata.shape[0]),))
+        logging.info('Reading LD block with %d variants.',
+                     snp_metadata.shape[0])
 
         variant_indices = np.array(snp_metadata.ID.isin(variants.ID))
         if np.sum(variant_indices) == 0:
@@ -225,7 +224,7 @@ def matched_schema_entries(schema_path, variants, denylist):
         keep = np.isin(idx, denylist, invert=True)
         to_change = np.where(variant_indices)[0][~keep]
         variant_indices[to_change] = False
-        logging.info('Proportion of variant indices being used: %e',
+        logging.info('Keeping %.4f of this block\'s variants.',
                      np.mean(variant_indices))
         idx = idx[keep]
         if len(idx) == 0:
@@ -339,11 +338,11 @@ def consume_mmap_rng_draws():
 
 
 def _log_schema_summary(n, num_missing, total_flipped):
-    logging.info('Loaded a total of %d variants.', n)
-    logging.warning('Missing LD info for %d variants. They will be ignored '
-                    'during optimization.', num_missing)
-    logging.warning('The alleles did not match for %d variants. They were '
-                    'flipped', total_flipped)
+    logging.info('Schema load complete: %d variants.', n)
+    logging.warning('%d variants have no LD information and will be '
+                    'treated as missing during optimization.', num_missing)
+    logging.warning('Allele order flipped for %d variants while matching '
+                    'LD blocks.', total_flipped)
 
 
 def load_ld_from_schema(schema_path, variants, denylist, ldthresh,

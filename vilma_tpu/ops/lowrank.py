@@ -74,7 +74,7 @@ def factor_block(X=None, t=1.0, u=None, s=None, d=None, check_symmetric=True):
             raise ValueError('Cannot provide both a matrix and a '
                              'factorization')
         if check_symmetric and not np.allclose(X, X.T):
-            raise ValueError('Provided matrix is not symmetric')
+            raise ValueError('Cannot factor an asymmetric matrix.')
         u, s = eigh_threshold(np.asarray(X, dtype=np.float64), t)
         d = np.zeros(X.shape[0])
     else:
