@@ -90,11 +90,13 @@ def args(super_parser):
                              'and COVARIANCE_FILE.pkl.',
                         metavar=('CHECKPOINT_FILE.npz',
                                  'COVARIANCE_FILE.pkl'))
-    parser.add_argument('--precision', type=str, default='f64',
-                        choices=['f32', 'f64'],
+    parser.add_argument('--precision', type=str, default='auto',
+                        choices=['auto', 'f32', 'f64'],
                         help='Numerical precision of the solver. f64 '
                              'matches the reference bit-for-bit tolerance '
-                             '(CPU); f32 is the fast path on TPU.')
+                             '(CPU); f32 is the fast path on TPU. auto '
+                             '(default) picks f32 when an accelerator is '
+                             'attached and f64 otherwise.')
     parser.add_argument('--ld-precision', type=str, default='auto',
                         choices=['auto', 'f32', 'bf16'],
                         help='Storage precision of the LD eigenvector '
@@ -150,6 +152,7 @@ def args(super_parser):
 
 def main(args):
     np.random.seed(args.seed)
+    args.precision = _resolve_precision(args.precision)
     _configure_precision(args.precision)
 
     if (not args.trait
@@ -369,6 +372,55 @@ def main(args):
         variants['missing_sumstats_' + name] = missing_sumstats[:, idx]
         variants['missing_LD_' + name] = missing_ld_info[:, idx]
     variants.to_csv(args.output + '.estimates.tsv', sep='\t', index=False)
+
+
+def _accelerator_available():
+    """Whether a non-CPU jax backend is attached, WITHOUT initializing a
+    backend in this process.
+
+    The answer must be known before _configure_precision runs (the f64
+    path pins jax_platforms=cpu, which only works before backend init),
+    so we cannot simply call jax.devices() here. A cpu-only JAX_PLATFORMS
+    answers immediately; otherwise a killable subprocess probes the
+    runtime (a wedged remote-TPU tunnel hangs inside backend init
+    forever — the timeout keeps `fit` usable during outages).
+    """
+    env_platforms = os.environ.get('JAX_PLATFORMS', '')
+    if env_platforms and all(p.strip() in ('cpu', '')
+                             for p in env_platforms.split(',')):
+        return False
+    import subprocess
+    import sys
+    timeout_s = int(os.environ.get('VILMA_ACCEL_PROBE_TIMEOUT', '240'))
+    try:
+        out = subprocess.run(
+            [sys.executable, '-c',
+             'import jax; print(any(d.platform != "cpu" '
+             'for d in jax.devices()))'],
+            capture_output=True, text=True, timeout=timeout_s)
+        return out.stdout.strip() == 'True'
+    except subprocess.TimeoutExpired:
+        logging.warning('Accelerator probe timed out after %ds; '
+                        'assuming none is attached.', timeout_s)
+        return False
+
+
+def _resolve_precision(precision):
+    """Resolve --precision auto; warn when f64 will idle an accelerator.
+
+    Round-2 review flagged that a default `fit` on a TPU VM silently ran
+    the f64 CPU path. auto (the default) now selects the f32 fast path
+    whenever an accelerator is attached; an explicit f32/f64 choice is
+    honored as given.
+    """
+    if precision == 'auto':
+        if _accelerator_available():
+            logging.info('Selected --precision f32 (accelerator attached; '
+                         'pass --precision f64 for the CPU parity path).')
+            return 'f32'
+        logging.info('Selected --precision f64 (no accelerator attached).')
+        return 'f64'
+    return precision
 
 
 def _configure_precision(precision):
