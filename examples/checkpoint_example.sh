@@ -23,7 +23,7 @@ if [[ ! -f "$OUT_DIR/example_vilma_run.npz" ]]; then
     exit 1
 fi
 
-python -m vilma_tpu.frontend fit --logfile - \
+python -m vilma_tpu.frontend fit --precision f64 --logfile - \
     --sumstats "$DATA_DIR/example_data/example_gwas_sumstats.txt" \
     --output "$OUT_DIR/checkpoint_example_vilma_run" \
     --ld-schema "$OUT_DIR/ld_mat/example_schema.schema" \

@@ -21,8 +21,12 @@ python -m vilma_tpu.frontend make_ld_schema --logfile - \
     --plink-file-list "$DATA_DIR/plink_file_list.txt" \
     --ldthresh 0.8
 
-# 2. Fit the model (K=81 mixture components, learned SE scaling)
+# 2. Fit the model (K=81 mixture components, learned SE scaling).
+# --precision f64 pins the CPU parity path: this example exists to
+# demonstrate 1e-6-level agreement with the reference golden, which the
+# f32 accelerator fast path (the default on TPU VMs) does not target.
 python -m vilma_tpu.frontend fit --logfile - \
+    --precision f64 \
     --sumstats "$DATA_DIR/example_data/example_gwas_sumstats.txt" \
     --output "$OUT_DIR/example_vilma_run" \
     --ld-schema "$OUT_DIR/ld_mat/example_schema.schema" \
