@@ -26,15 +26,17 @@ CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 # BENCH_SIZE=1m selects the genome-scale configuration; BENCH_PALLAS=0
 # disables the fused Pallas block-matvec kernel (default ON on TPU).
 _SIZE = os.environ.get('BENCH_SIZE', '100k')
+# BENCH_POPS=3 runs the multi-ancestry configuration (3 cohorts sharing
+# one LD panel; exercises the closed-form 3x3 sigma algebra)
+NUM_POPS = int(os.environ.get('BENCH_POPS', '2'))
 if _SIZE == '6m':
     NUM_LOCI = 6_000_000
-    METRIC = 'vi_iterations_per_s_6m_snp_2pop_K18'
 elif _SIZE == '1m':
     NUM_LOCI = 1_000_000
-    METRIC = 'vi_iterations_per_s_1m_snp_2pop_K18'
 else:
     NUM_LOCI = 100_000
-    METRIC = 'vi_iterations_per_s_100k_snp_2pop_K18'
+METRIC = (f'vi_iterations_per_s_{_SIZE if _SIZE in ("1m", "6m") else "100k"}'
+          f'_snp_{NUM_POPS}pop_K18')
 NUM_COMPONENTS = 18
 BLOCK_SIZE = 1024
 RANK_FRAC = 0.5
@@ -212,7 +214,7 @@ def _build(dtype, device):
     with jax.default_device(jax.devices('cpu')[0]):
         ld = _cached_ld(dtype)
         rng = np.random.default_rng(1)
-        P = 2
+        P = NUM_POPS
         std_errs = rng.uniform(0.01, 0.05, (P, NUM_LOCI))
         betas = rng.standard_normal((P, NUM_LOCI)) * std_errs * 2
         scales = np.exp(np.linspace(np.log(1e-6), np.log(1e-2),
@@ -232,7 +234,7 @@ def _build(dtype, device):
     ld = jax.device_put(ld, device)
     with jax.default_device(device):
         data = engine.build_model_data(
-            betas.astype(dtype), std_errs.astype(dtype), [ld, ld],
+            betas.astype(dtype), std_errs.astype(dtype), [ld] * P,
             annotations, covs, scaled=False, scale_se=False,
             gwas_N=np.full(P, 1e5), init_hg=np.full(P, 0.3), dtype=dtype)
         state = synthetic.synthetic_state(data)

@@ -1,6 +1,6 @@
 """Engine edge cases: K=1 mixture (degenerate categorical), P=3
-populations (generic batched-solve sigma path rather than the closed
-forms), and single-population fits."""
+populations (closed-form 3x3 sigma algebra), P=4 (the generic
+batched-solve sigma fallback), and single-population fits."""
 import numpy as np
 
 from vilma_tpu.ops import blocks
@@ -42,7 +42,7 @@ def test_single_component_mixture():
     assert scheme.elbo_value(st) > -np.inf
 
 
-def test_three_populations_generic_sigma():
+def test_three_populations_closed_form_sigma():
     np.random.seed(4)
     scheme = _scheme(num_pops=3, num_comps=3)
     st0 = scheme._initialize()
@@ -50,6 +50,16 @@ def test_three_populations_generic_sigma():
     st = scheme.optimize()
     e1 = scheme.elbo_value(st)
     assert e1 > e0
+    assert np.all(np.isfinite(scheme.real_posterior_variance(st)))
+
+
+def test_four_populations_generic_sigma():
+    np.random.seed(6)
+    scheme = _scheme(num_pops=4, num_comps=2)
+    st0 = scheme._initialize()
+    e0 = scheme.elbo_value(st0)
+    st = scheme.optimize()
+    assert scheme.elbo_value(st) > e0
     assert np.all(np.isfinite(scheme.real_posterior_variance(st)))
 
 

@@ -53,11 +53,38 @@ def _precision_parts(mixture_prec, diag_term):
         b = mixture_prec[:, 0, 1][:, None] + jnp.zeros_like(diag_term[0])
         d = mixture_prec[:, 1, 1][:, None] + diag_term[1][None, :]
         return (a, b, d)
+    if P == 3:
+        # M[k,i] = [[a, b, c], [b, d, e], [c, e, f]]; diag entries vary
+        # with i, off-diagonals stay [K, 1] broadcastables (the diag_term
+        # is diagonal, so it never touches them)
+        a = mixture_prec[:, 0, 0][:, None] + diag_term[0][None, :]
+        d = mixture_prec[:, 1, 1][:, None] + diag_term[1][None, :]
+        f = mixture_prec[:, 2, 2][:, None] + diag_term[2][None, :]
+        b = mixture_prec[:, 0, 1][:, None]
+        c = mixture_prec[:, 0, 2][:, None]
+        e = mixture_prec[:, 1, 2][:, None]
+        return (a, b, c, d, e, f)
     raise NotImplementedError
 
 
+def _adjugate3(parts):
+    """Adjugate entries + determinant of the symmetric 3x3 family.
+
+    inverse[k,i] = adj / det with adj = [[A, B, C], [B, D, E], [C, E, F]];
+    all six entries are [K, I] (the diagonal entries vary with i)."""
+    a, b, c, d, e, f = parts
+    A = d * f - e * e
+    B = c * e - b * f
+    C = b * e - c * d
+    D = a * f - c * c
+    E = b * c - a * e
+    F = a * d - b * b
+    det = a * A + b * B + c * C
+    return A, B, C, D, E, F, det
+
+
 def _use_closed_form(P):
-    return P <= 2
+    return P <= 3
 
 
 def apply_precision(mixture_prec, diag_term, x):
@@ -79,12 +106,19 @@ def apply_sigma(mixture_prec, diag_term, x):
         if P == 1:
             (a,) = parts
             return (x[:, 0, :] / a)[:, None, :]
-        a, b, d = parts
-        det = a * d - b * b
-        x0, x1 = x[:, 0, :], x[:, 1, :]
-        y0 = (d * x0 - b * x1) / det
-        y1 = (a * x1 - b * x0) / det
-        return jnp.stack([y0, y1], axis=1)
+        if P == 2:
+            a, b, d = parts
+            det = a * d - b * b
+            x0, x1 = x[:, 0, :], x[:, 1, :]
+            y0 = (d * x0 - b * x1) / det
+            y1 = (a * x1 - b * x0) / det
+            return jnp.stack([y0, y1], axis=1)
+        A, B, C, D, E, F, det = _adjugate3(parts)
+        x0, x1, x2 = x[:, 0, :], x[:, 1, :], x[:, 2, :]
+        y0 = (A * x0 + B * x1 + C * x2) / det
+        y1 = (B * x0 + D * x1 + E * x2) / det
+        y2 = (C * x0 + E * x1 + F * x2) / det
+        return jnp.stack([y0, y1, y2], axis=1)
     # generic fallback: batched PxP solve (materializes [K,I,P,P])
     prec = _dense_precision(mixture_prec, diag_term)
     rhs = jnp.transpose(x, (0, 2, 1))[..., None]           # [K,I,P,1]
@@ -114,7 +148,7 @@ def make_summaries(mixture_prec, log_det_prior, diag_term):
             log_det_sigma = -jnp.log(a)                       # [K,I]
             diag = (1.0 / a)[:, None, :]                      # [K,1,I]
             matches = mixture_prec[:, 0, 0][:, None] / a      # [K,I]
-        else:
+        elif P == 2:
             a, b, d = parts
             det = a * d - b * b
             log_det_sigma = -jnp.log(det)
@@ -123,6 +157,15 @@ def make_summaries(mixture_prec, log_det_prior, diag_term):
             p01 = mixture_prec[:, 0, 1][:, None]
             p11 = mixture_prec[:, 1, 1][:, None]
             matches = (p00 * d - 2 * p01 * b + p11 * a) / det  # [K,I]
+        else:
+            A, B, C, D, E, F, det = _adjugate3(parts)
+            log_det_sigma = -jnp.log(det)
+            diag = jnp.stack([A, D, F], axis=1) / det[:, None, :]
+            pr = mixture_prec[:, :, :, None]                  # [K,3,3,1]
+            # trace(prec @ sigma) over the symmetric entries
+            matches = (pr[:, 0, 0] * A + pr[:, 1, 1] * D + pr[:, 2, 2] * F
+                       + 2 * (pr[:, 0, 1] * B + pr[:, 0, 2] * C
+                              + pr[:, 1, 2] * E)) / det       # [K,I]
     else:
         prec = _dense_precision(mixture_prec, diag_term)      # [K,I,P,P]
         sigma = jnp.linalg.inv(prec)
@@ -150,14 +193,23 @@ def sigma_weighted_sum(mixture_prec, diag_term, vi_delta):
             (a,) = parts
             out = jnp.einsum('ki,ki->i', vi_delta, 1.0 / a)
             return out[:, None, None]
-        a, b, d = parts
-        det = a * d - b * b
-        s00 = jnp.einsum('ki,ki->i', vi_delta, d / det)
-        s01 = jnp.einsum('ki,ki->i', vi_delta, -b / det)
-        s11 = jnp.einsum('ki,ki->i', vi_delta, a / det)
-        row0 = jnp.stack([s00, s01], axis=-1)
-        row1 = jnp.stack([s01, s11], axis=-1)
-        return jnp.stack([row0, row1], axis=-2)               # [I,2,2]
+        if P == 2:
+            a, b, d = parts
+            det = a * d - b * b
+            s00 = jnp.einsum('ki,ki->i', vi_delta, d / det)
+            s01 = jnp.einsum('ki,ki->i', vi_delta, -b / det)
+            s11 = jnp.einsum('ki,ki->i', vi_delta, a / det)
+            row0 = jnp.stack([s00, s01], axis=-1)
+            row1 = jnp.stack([s01, s11], axis=-1)
+            return jnp.stack([row0, row1], axis=-2)           # [I,2,2]
+        A, B, C, D, E, F, det = _adjugate3(parts)
+        w = lambda adj: jnp.einsum('ki,ki->i', vi_delta, adj / det)  # noqa
+        s00, s01, s02 = w(A), w(B), w(C)
+        s11, s12, s22 = w(D), w(E), w(F)
+        row0 = jnp.stack([s00, s01, s02], axis=-1)
+        row1 = jnp.stack([s01, s11, s12], axis=-1)
+        row2 = jnp.stack([s02, s12, s22], axis=-1)
+        return jnp.stack([row0, row1, row2], axis=-2)         # [I,3,3]
     prec = _dense_precision(mixture_prec, diag_term)
     sigma = jnp.linalg.inv(prec)                              # [K,I,P,P]
     return jnp.einsum('ki,kipq->ipq', vi_delta, sigma)
