@@ -394,9 +394,27 @@ def main():
     }))
 
 
+def selftest_main():
+    """Compile-and-check the Mosaic kernel on the attached TPU for every
+    supported bucket tier (see vilma_tpu/ops/pallas/selftest.py: interpret
+    -mode tests cannot catch Mosaic compile rejections). Prints one JSON
+    line; exits nonzero on failure."""
+    _enable_compile_cache()
+    from vilma_tpu.ops.pallas import selftest
+    results = selftest.run_selftest()
+    print(json.dumps({
+        'metric': 'pallas_selftest_configs_ok',
+        'value': len(results),
+        'unit': 'configs',
+        'max_normalized_err': max(r[3] for r in results),
+    }))
+
+
 if __name__ == '__main__':
     import sys
-    if '--accel' in sys.argv:
+    if '--selftest' in sys.argv:
+        selftest_main()
+    elif '--accel' in sys.argv:
         accel_main()
     else:
         main()

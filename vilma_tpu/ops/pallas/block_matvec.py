@@ -45,7 +45,11 @@ def shape_supported(pmax, rmax, dtype):
     if dtype not in (jnp.float32, jnp.bfloat16):
         return False
     itemsize = 2 if dtype == jnp.bfloat16 else 4
-    if pmax * rmax * itemsize > 8 * 1024 * 1024:  # U tile x 2 bufs in VMEM
+    # two pipeline buffers of the U tile plus the s/d/x/y tiles and
+    # Mosaic's stack must fit the 16 MB VMEM: an 8 MB U tile was measured
+    # to need 16.12 MB total and fail scoped-vmem allocation on v5e
+    # (caught by ops/pallas/selftest.py), so cap the tile at 7 MB
+    if pmax * rmax * itemsize > 7 * 1024 * 1024:
         return False
     return pmax % 128 == 0 and rmax % 128 == 0
 
