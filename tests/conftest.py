@@ -6,7 +6,11 @@ Parity tests against the reference's float64 goldens need x64.
 """
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+# force, not setdefault: the host environment may carry a TPU plugin
+# platform (e.g. JAX_PLATFORMS=axon), and CLI tests spawn subprocesses
+# that inherit os.environ — without the override they would silently
+# run golden-parity fits on the accelerator (slow, f32, wrong tier)
+os.environ['JAX_PLATFORMS'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (

@@ -26,3 +26,78 @@ def test_f32_matches_f64():
     assert np.allclose(post32, post64, atol=2e-3 * scale + 1e-7)
     assert np.allclose(esc32, esc64, rtol=1e-3)
     assert np.isclose(elbo32, elbo64, rtol=1e-4)
+
+
+def test_floor_mixture_covs_rescues_subnormal_spike():
+    """The reference grid's near-zero spike can land below f32's
+    smallest normal (a real fixture produced 6.6e-44 variance), which
+    used to cast mixture_prec to inf and NaN the whole f32 fit."""
+    covs = np.stack([np.eye(2) * 1e-44, np.eye(2) * 1e-3,
+                     np.array([[1.0, 0.3], [0.3, 1.0]])])
+    floored = engine._floor_mixture_covs(covs)
+    prec32 = np.linalg.inv(floored).astype(np.float32)
+    assert np.all(np.isfinite(prec32))
+    # sane components are untouched
+    assert np.allclose(floored[1:], covs[1:])
+    # and the spike stays a spike: far below the real components
+    assert floored[0][0, 0] < 1e-8
+
+
+def test_f32_fit_survives_subnormal_spike_grid():
+    """End-to-end: an f32 fit whose grid includes a sub-f32 spike must
+    produce finite outputs that track the f64 fit."""
+    outs = {}
+    for dtype in (np.float64, np.float32):
+        np.random.seed(11)
+        data = synthetic.synthetic_problem(
+            num_loci=128, num_pops=1, num_components=3, block_size=32,
+            dtype=dtype)
+        # overwrite the covariances with a grid containing the
+        # pathological spike (rebuild model data to apply the floor)
+        covs = np.stack([np.eye(1) * 1e-44, np.eye(1) * 1e-4,
+                         np.eye(1) * 1e-2])
+        data = engine.build_model_data(
+            np.asarray(data.marginal_effects),
+            np.asarray(data.std_errs), list(data.ld),
+            np.eye(1)[np.zeros(128, dtype=int)], covs, scaled=False,
+            scale_se=False, gwas_N=np.full(1, 1e5),
+            init_hg=np.full(1, 0.3), dtype=dtype)
+        st = synthetic.synthetic_state(data)
+        for _ in range(5):
+            st, pm = engine.outer_step(data, st, line_search_rate=2.0)
+        outs[np.dtype(dtype).name] = np.asarray(pm)
+        assert np.all(np.isfinite(np.asarray(pm))), dtype
+    scale = np.abs(outs['float64']).max()
+    assert np.max(np.abs(outs['float32'] - outs['float64'])) < 2e-3 * scale
+
+
+def test_optimize_raises_on_nan_state(monkeypatch):
+    """The secondary NaN guard: a fit that degenerates to NaN must raise
+    'Encountered a numerical error', never write NaN outputs (the
+    f32/bf16 line-search guard runs with a loosened rtol and cannot
+    catch this by itself)."""
+    import dataclasses
+    import pytest
+    np.random.seed(12)
+    data = synthetic.synthetic_problem(num_loci=64, num_pops=1,
+                                       num_components=2, block_size=16,
+                                       dtype=np.float32)
+    scheme = engine.MultiPopVI(
+        marginal_effects=np.asarray(data.marginal_effects),
+        std_errs=np.asarray(data.std_errs), ld_mats=list(data.ld),
+        mixture_covs=np.linalg.inv(np.asarray(data.mixture_prec)),
+        annotations=np.ones((64, 1)), checkpoint=False,
+        checkpoint_freq=-1, output='/tmp/vilma_tpu_nan_guard',
+        scaled=False, scale_se=False, gwas_N=np.full(1, 1e5),
+        init_hg=np.full(1, 0.3), num_its=5, dtype=np.float32)
+
+    real_step = engine.outer_step_donated
+
+    def poisoned(data, st, line_search_rate):
+        st, pm = real_step(data, st, line_search_rate=line_search_rate)
+        return (dataclasses.replace(
+            st, elbo=st.elbo * np.float32(np.nan)), pm)
+
+    monkeypatch.setattr(engine, 'outer_step_donated', poisoned)
+    with pytest.raises(RuntimeError, match='numerical error'):
+        scheme.optimize()

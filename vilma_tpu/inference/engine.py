@@ -568,6 +568,32 @@ def _precompute_stats(ld, ld_index, marginal_effects, std_errs, gwas_N,
     return ld_diags, chi_stat, adj, inverse_betas
 
 
+def _floor_mixture_covs(mixture_covs, rel_floor=1e-10):
+    """Floor mixture-covariance eigenvalues for sub-f64 precisions.
+
+    The reference's covariance grid includes a near-zero spike component
+    at `mins * 1e-6` (reference vi_options.py:288) where `mins` is
+    data-derived — on adversarial inputs that lands below float32's
+    smallest normal (a real fixture produced 6.6e-44), so the precision
+    matrices cast to inf and the whole fit silently NaNs. Any variance
+    that many orders of magnitude under the grid's top scale is
+    statistically "exactly zero effect"; flooring eigenvalues at
+    rel_floor x the largest grid variance preserves that meaning while
+    keeping precisions (<= 1e10 x scale), their P<=3 determinant
+    products, and their logs comfortably inside f32 range. The f64
+    parity path never calls this.
+    """
+    w, v = np.linalg.eigh(mixture_covs)                  # [K,P], [K,P,P]
+    floor = float(w.max()) * rel_floor
+    if w.min() >= floor:
+        return mixture_covs
+    logging.info('f32 path: flooring %d mixture-covariance eigenvalues '
+                 'below %.3e (near-zero spike components outside f32 '
+                 'range)', int((w < floor).sum()), floor)
+    w = np.maximum(w, floor)
+    return np.einsum('kpq,kq,krq->kpr', v, w, v)
+
+
 def build_model_data(marginal_effects, std_errs, ld_mats, annotations,
                      mixture_covs, scaled, scale_se, gwas_N, init_hg,
                      dtype=None, mesh=None):
@@ -618,6 +644,9 @@ def build_model_data(marginal_effects, std_errs, ld_mats, annotations,
     if not np.all(signs == 1):
         raise ValueError('Every mixture-component covariance matrix '
                          'must be positive definite.')
+    if np.dtype(dtype) != np.float64:
+        mixture_covs = _floor_mixture_covs(mixture_covs)
+        log_det = np.linalg.slogdet(mixture_covs)[1]
     mixture_prec = np.linalg.inv(mixture_covs)
 
     if scaled:
@@ -794,11 +823,16 @@ class MultiPopVI:
             raise ValueError('multi-process fits need the variant count '
                              'to be divisible by the snp mesh axis; pad '
                              'the extract list or adjust the mesh')
-        self.data = build_model_data(marginal_effects, std_errs, ld_mats,
-                                     annotations, mixture_covs, scaled,
-                                     scale_se, gwas_N, init_hg, dtype=dtype,
-                                     mesh=mesh if self._multiproc else None)
         self.mesh = mesh
+        # shard-local LD (blocks.PackedLD.shard_count > 1) runs its
+        # matvecs as shard_map over the ambient mesh — which must
+        # therefore be set for every jit that touches the LD, including
+        # the precompute inside build_model_data
+        with self._mesh_ctx():
+            self.data = build_model_data(
+                marginal_effects, std_errs, ld_mats, annotations,
+                mixture_covs, scaled, scale_se, gwas_N, init_hg,
+                dtype=dtype, mesh=mesh if self._multiproc else None)
         if out_index is None:
             out_index = np.arange(self.data.marginal_effects.shape[1])
         self._out_index = np.asarray(out_index)
@@ -831,6 +865,13 @@ class MultiPopVI:
         self.num_mix = self.data.mixture_prec.shape[0]
         self.num_annotations = self.data.num_annotations
         self.state = None
+
+    def _mesh_ctx(self):
+        """jax.set_mesh(self.mesh) when a mesh is configured (shard_map
+        matvecs need the ambient mesh), nullcontext otherwise."""
+        from contextlib import nullcontext
+        return (jax.set_mesh(self.mesh) if self.mesh is not None
+                else nullcontext())
 
     # -- pieces reused by fit/sim/tests ------------------------------------
     @property
@@ -933,8 +974,9 @@ class MultiPopVI:
 
     def elbo_value(self, st=None):
         st = st or self.state
-        return float(elbo_jit(self.data, st.sigma, st.error_scaling,
-                              st.vi_mu, st.vi_delta, st.hyper_delta))
+        with self._mesh_ctx():
+            return float(elbo_jit(self.data, st.sigma, st.error_scaling,
+                                  st.vi_mu, st.vi_delta, st.hyper_delta))
 
     def create_dump_dict(self, st=None):
         st = st or self.state
@@ -962,10 +1004,7 @@ class MultiPopVI:
     def optimize(self, loaded_checkpoint=None):
         """Coordinate ascent until convergence
         (reference optimize(), variational_inference.py:340-394)."""
-        from contextlib import nullcontext
-        ctx = (jax.set_mesh(self.mesh) if self.mesh is not None
-               else nullcontext())
-        with ctx:
+        with self._mesh_ctx():
             return self._optimize_impl(loaded_checkpoint)
 
     def _optimize_impl(self, loaded_checkpoint=None):
@@ -1005,6 +1044,13 @@ class MultiPopVI:
             if num_err > prev_err:
                 raise RuntimeError('Encountered a numerical error.')
             prev_err = num_err
+            # secondary guard for the reduced-precision paths: the
+            # line-search consistency check runs with a loosened rtol on
+            # f32/bf16 (_err_rtol), so a fit that silently degenerates
+            # to NaN would otherwise "converge" and write NaN outputs
+            if np.isnan(stats[1]) or np.isnan(stats[4]):
+                raise RuntimeError('Encountered a numerical error '
+                                   '(non-finite ELBO or posterior mean).')
             red = float(stats[2])
 
             converged = bool(stats[3])
