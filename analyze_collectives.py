@@ -67,28 +67,62 @@ def main():
         raise SystemExit('need XLA_FLAGS=--xla_force_host_platform_'
                          f'device_count={n_snp}')
     mesh = mesh_mod.make_mesh(n_snp=n_snp)
+
+    def report(tag, hlo):
+        inv = collective_inventory(hlo)
+        print(f'collectives in one sharded outer_step — {tag} '
+              f'({n_snp}-way snp mesh, I={num_loci}, P=2, f64):')
+        total = 0
+        for op, (cnt, byt) in sorted(inv.items()):
+            print(f'  {op:20s} count={cnt:3d}  bytes={byt:>12,}')
+            total += byt
+        print(f'  {"TOTAL":20s} {"":10s}  bytes={total:>12,}'
+              f'  ({total / max(num_loci, 1):.1f} B/SNP)')
+        return inv
+
+    # -- legacy layout: genome-order gather/scatter under SPMD ------------
     data = synthetic.synthetic_problem(num_loci=num_loci, num_pops=2,
                                        num_components=4, block_size=64,
                                        num_annotations=2,
                                        dtype=np.float64)
     state = synthetic.synthetic_state(data)
-    data = mesh_mod.shard_data(data, mesh)
-    state = mesh_mod.shard_state(state, mesh)
+    sdata = mesh_mod.shard_data(data, mesh)
+    sstate = mesh_mod.shard_state(state, mesh)
     with jax.set_mesh(mesh):
         hlo = jax.jit(
             lambda d, s: engine.outer_step_impl(d, s, 2.0),
-        ).lower(data, state).compile().as_text()
+        ).lower(sdata, sstate).compile().as_text()
+    report('global-gather layout', hlo)
 
-    inv = collective_inventory(hlo)
-    print(f'collectives in one sharded outer_step '
-          f'({n_snp}-way snp mesh, I={num_loci}, P=2, f64):')
-    total = 0
-    for op, (cnt, byt) in sorted(inv.items()):
-        print(f'  {op:20s} count={cnt:3d}  bytes={byt:>12,}')
-        total += byt
-    print(f'  {"TOTAL":20s} {"":10s}  bytes={total:>12,}'
-          f'  ({total / max(num_loci, 1):.1f} B/SNP)')
-    return inv
+    # -- shard-local layout: collective-free matvec (the production
+    #    `fit --mesh` path since round 3) ---------------------------------
+    from vilma_tpu.parallel import alignment
+    from vilma_tpu.ops import blocks as blocks_mod
+    ld = data.ld[0]
+    lmap, L, ok = alignment.compute_layout([ld], num_loci,
+                                           n_shards=n_snp)
+    assert ok
+    lds = alignment.relayout_ld(ld, lmap, L, n_shards=n_snp)
+    rng = np.random.default_rng(0)
+    betas = alignment.relayout_rows(
+        np.asarray(data.marginal_effects), lmap, L, fill=0.0)
+    ses = alignment.relayout_rows(np.asarray(data.std_errs), lmap, L,
+                                  fill=1.0)
+    annot = np.zeros((L, 2))
+    annot[lmap, rng.integers(0, 2, num_loci)] = 1
+    covs = np.linalg.inv(np.asarray(data.mixture_prec))
+    with jax.set_mesh(mesh):
+        data2 = engine.build_model_data(
+            betas, ses, [lds, lds], annot, covs, scaled=False,
+            scale_se=False, gwas_N=np.full(2, 1e5),
+            init_hg=np.full(2, 0.3), dtype=np.float64)
+        state2 = synthetic.synthetic_state(data2)
+        sdata2 = mesh_mod.shard_data(data2, mesh)
+        sstate2 = mesh_mod.shard_state(state2, mesh)
+        hlo2 = jax.jit(
+            lambda d, s: engine.outer_step_impl(d, s, 2.0),
+        ).lower(sdata2, sstate2).compile().as_text()
+    return report('shard-local layout', hlo2)
 
 
 if __name__ == '__main__':

@@ -126,3 +126,110 @@ def test_dryrun_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_shard_local_step_matches_unsharded():
+    """The collective-free shard-local path (alignment n_shards +
+    blocks.pack shard-major + shard_map matvec) reproduces the plain
+    single-device step. Messy inputs on purpose: irregular block sizes,
+    a dropped variant inside a window, and an LD-missing run."""
+    import dataclasses
+    num_loci = 530
+    rng = np.random.default_rng(7)
+    factors, indices = [], []
+    bounds = [(0, 96), (96, 256), (256, 356), (376, 530)]  # gap 356-376
+    for a, b in bounds:
+        keep = np.setdiff1d(np.arange(a, b), [130])   # hole inside block 2
+        m = rng.standard_normal((keep.size, keep.size))
+        factors.append(lowrank.factor_block(
+            X=m @ m.T + keep.size * np.eye(keep.size), t=1.0,
+            check_symmetric=False))
+        indices.append(keep)
+    ld = blocks.pack(factors, indices, num_loci)
+
+    std_errs = rng.uniform(0.01, 0.05, (2, num_loci))
+    betas = rng.standard_normal((2, num_loci)) * std_errs * 2
+    covs = [np.eye(2) * s for s in (1e-6, 1e-4, 1e-2)]
+    annotations = np.zeros((num_loci, 2))
+    annotations[np.arange(num_loci), rng.integers(0, 2, num_loci)] = 1
+
+    def build(ld_mats, b, se, annot):
+        return engine.build_model_data(
+            b, se, ld_mats, annot, covs, scaled=False, scale_se=True,
+            gwas_N=np.full(2, 1e5), init_hg=np.full(2, 0.3))
+
+    # plain single-device run in genome order
+    data1 = build([ld, ld], betas, std_errs, annotations)
+    state1 = synthetic.synthetic_state(data1)
+    st1, pm1 = engine.outer_step(data1, state1, line_search_rate=2.0)
+
+    # shard-local run: 8 spans, relayouted inputs
+    from vilma_tpu.parallel import alignment
+    lmap, L, ok = alignment.compute_layout([ld], num_loci, n_shards=8)
+    assert ok and L % 8 == 0
+    lds = alignment.relayout_ld(ld, lmap, L, n_shards=8)
+    assert lds.shard_count == 8 and lds.row_aligned
+    mesh = mesh_mod.make_mesh(n_snp=8, n_comp=1)
+    with jax.set_mesh(mesh):   # shard_map matvecs need the ambient mesh
+        data2 = build([lds, lds],
+                      alignment.relayout_rows(betas, lmap, L, fill=0.0),
+                      alignment.relayout_rows(std_errs, lmap, L, fill=1.0),
+                      alignment.relayout_annotations(annotations, lmap, L))
+        state2 = synthetic.synthetic_state(data2)
+    # the synthetic states differ at pad slots; transplant the real slots
+    # so both runs optimize the same starting point (pads stay inert)
+    state2 = dataclasses.replace(
+        state2,
+        vi_mu=jax.numpy.zeros_like(state2.vi_mu).at[..., lmap].set(
+            state1.vi_mu),
+        vi_delta=jax.numpy.full_like(
+            state2.vi_delta, 1.0 / state2.vi_delta.shape[0]
+        ).at[..., lmap].set(state1.vi_delta),
+        hyper_delta=state1.hyper_delta,
+        nat_grad_vi_delta=jax.numpy.zeros_like(
+            state2.nat_grad_vi_delta).at[..., lmap].set(
+                state1.nat_grad_vi_delta),
+        sigma=state2.sigma, L=state1.L,
+        error_scaling=state1.error_scaling, elbo=state1.elbo,
+        running_elbo_delta=state1.running_elbo_delta)
+
+    sdata = mesh_mod.shard_data(data2, mesh)
+    sstate = mesh_mod.shard_state(state2, mesh)
+    with jax.set_mesh(mesh):
+        st2, pm2 = engine.outer_step(sdata, sstate, line_search_rate=2.0)
+
+    assert np.allclose(np.asarray(pm2)[:, lmap], np.asarray(pm1),
+                       rtol=1e-9, atol=1e-11)
+    assert np.allclose(np.asarray(st2.error_scaling),
+                       np.asarray(st1.error_scaling), rtol=1e-9)
+    # pad slots stay exactly inert
+    pads = np.setdiff1d(np.arange(L), lmap)
+    assert np.all(np.asarray(pm2)[:, pads] == 0)
+
+
+def test_shard_local_dot_has_no_collectives():
+    """The shard-local matvec must compile to ZERO cross-device
+    collectives (the round-2 path paid O(I) all-gathers per call)."""
+    import re
+    rng = np.random.default_rng(1)
+    n = 1024
+    factors, indices = [], []
+    for a in range(0, n, 128):
+        m = rng.standard_normal((128, 128))
+        factors.append(lowrank.factor_block(X=m @ m.T + 128 * np.eye(128),
+                                            t=1.0, check_symmetric=False))
+        indices.append(np.arange(a, a + 128))
+    ld = blocks.pack(factors, indices, n, n_shards=8)
+    assert ld.shard_count == 8
+    mesh = mesh_mod.make_mesh(n_snp=8, n_comp=1)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    v = jax.device_put(rng.standard_normal(n), NamedSharding(mesh, P('snp')))
+    with jax.set_mesh(mesh):
+        hlo = jax.jit(blocks.dot).lower(ld, v).compile().as_text()
+        vm = jax.device_put(rng.standard_normal((2, n)),
+                            NamedSharding(mesh, P(None, 'snp')))
+        hlo_m = jax.jit(blocks.dot_multi).lower(ld, vm).compile().as_text()
+    pat = re.compile(r'\b(all-reduce|all-gather|reduce-scatter|'
+                     r'collective-permute|all-to-all)\(')
+    assert not pat.search(hlo)
+    assert not pat.search(hlo_m)

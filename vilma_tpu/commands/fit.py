@@ -210,18 +210,17 @@ def main(args):
         distributed.initialize(args.coordinator or None,
                                args.num_processes, args.process_id)
     import jax
-    # auto only enables the Mosaic kernel where it was validated: TPU
-    # backend, f32 fast path, no mesh sharding (pallas_call has no SPMD
-    # partitioning rule for the snp-sharded BlockBucket.u). --pallas on
-    # is an explicit override for experiments.
-    if args.pallas == 'on' or (args.pallas == 'auto'
-                               and args.precision == 'f32'
-                               and not args.mesh
-                               and jax.process_count() == 1
-                               and any(d.platform == 'tpu'
-                                       for d in jax.devices())):
-        from vilma_tpu.ops import blocks
-        blocks.enable_pallas(True)
+    # auto enables the Mosaic kernel on the TPU f32 fast path. Under a
+    # mesh it is only legal on the shard-local layout (the kernel then
+    # runs per-device inside shard_map; pallas_call has no SPMD
+    # partitioning rule for globally-sharded buckets), so the decision
+    # is finalized after the layout step below. --pallas on is an
+    # explicit override for experiments.
+    want_pallas = args.pallas == 'on' or (
+        args.pallas == 'auto'
+        and args.precision == 'f32'
+        and jax.process_count() == 1
+        and any(d.platform == 'tpu' for d in jax.devices()))
     mesh = None
     if args.mesh:
         from vilma_tpu.parallel import mesh as mesh_mod
@@ -293,6 +292,11 @@ def main(args):
         # unchanged (inert pads, original variant order restored)
         logging.info('Enabling --align-layout for the f32 path.')
         args.align_layout = True
+    if mesh is not None and not args.align_layout:
+        # the shard-local layout is what makes the sharded matvec
+        # collective-free (blocks._dot_sharded); outputs are unchanged
+        logging.info('Enabling --align-layout for the sharded path.')
+        args.align_layout = True
     if args.align_layout and multiproc:
         # sharded-loaded LD lives in non-addressable global arrays; the
         # host-side relayout cannot read them (and the sharded loader
@@ -303,16 +307,29 @@ def main(args):
     if args.align_layout:
         from vilma_tpu.parallel import alignment
         n_var = variants.shape[0]
-        layout_map, L, ok = alignment.compute_layout(combined_ld, n_var)
+        # under a mesh, plan shard-local spans so every device's matvec
+        # touches only its own blocks (no per-evaluation collectives)
+        n_shards = mesh.shape['snp'] if mesh is not None else 1
+        layout_map, L, ok = alignment.compute_layout(combined_ld, n_var,
+                                                     n_shards=n_shards)
         if ok:
-            logging.info('Aligned layout: %d variants -> %d slots', n_var,
-                         L)
+            logging.info('Aligned layout: %d variants -> %d slots'
+                         '%s', n_var, L,
+                         f' ({n_shards} shard-local spans)'
+                         if n_shards > 1 else '')
             from vilma_tpu.ops import blocks as blocks_mod
             spill = blocks_mod.FactorSpill() if args.mmap else None
-            combined_ld = [alignment.relayout_ld(ld, layout_map, L,
-                                                 dtype=dtype, spill=spill,
-                                                 u_dtype=u_dtype)
-                           for ld in combined_ld]
+            # memoize by identity: cohorts sharing one loaded LD panel
+            # must keep sharing after the relayout, or the engine's
+            # identity dedup (ModelData.ld_index) stops applying and
+            # device memory doubles
+            relayouted = {}
+            for ld in combined_ld:
+                if id(ld) not in relayouted:
+                    relayouted[id(ld)] = alignment.relayout_ld(
+                        ld, layout_map, L, dtype=dtype, spill=spill,
+                        u_dtype=u_dtype, n_shards=n_shards)
+            combined_ld = [relayouted[id(ld)] for ld in combined_ld]
             betas = alignment.relayout_rows(betas, layout_map, L, fill=0.0)
             std_errs = alignment.relayout_rows(std_errs, layout_map, L,
                                                fill=1.0)
@@ -322,6 +339,14 @@ def main(args):
         else:
             logging.warning('LD blocks are not contiguous genome ranges; '
                             'skipping --align-layout.')
+    if want_pallas and mesh is not None and not all(
+            getattr(ld, 'shard_count', 1) > 1 for ld in combined_ld):
+        logging.warning('Pallas kernel disabled: mesh execution without '
+                        'the shard-local layout.')
+        want_pallas = False
+    if want_pallas:
+        from vilma_tpu.ops import blocks as blocks_mod
+        blocks_mod.enable_pallas(True)
 
     logging.info('Fitting...')
     from vilma_tpu.inference import MultiPopVI

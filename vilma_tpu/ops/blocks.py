@@ -111,6 +111,15 @@ class PackedLD:
     #   128-aligned genome range with exclusive 128-rows: enables the
     #   row-wise gather/scatter fast path in `dot` (TPU element gathers
     #   run at ~70M elem/s; whole-128-lane-row transfers are ~4x faster)
+    shard_count: int = 1      # >1 when the layout is shard-local: the
+    #   genome axis splits into shard_count equal spans of n/shard_count
+    #   slots, no block straddles a span boundary, bucket rows are
+    #   shard-major with equal per-shard counts, and grows/srows hold
+    #   SHARD-LOCAL row ids. `dot`/`dot_multi` then run as one
+    #   jax.shard_map over the mesh 'snp' axis with ZERO collectives
+    #   (the round-2 sharded path paid two O(I) all-gathers + one O(I)
+    #   all-reduce per objective evaluation for the genome<->block
+    #   permutation; see parallel/alignment.compute_layout)
 
     @property
     def shape(self):
@@ -155,7 +164,7 @@ jax.tree_util.register_dataclass(
     PackedLD,
     data_fields=('buckets',),
     meta_fields=('n', 'inverted', 'has_diag', 'rank', 'missing',
-                 'row_aligned'),
+                 'row_aligned', 'shard_count'),
 )
 
 
@@ -243,7 +252,7 @@ class FactorSpill:
 
 
 def pack(factors, block_indices, n, dtype=np.float64, spill=None,
-         u_dtype=None):
+         u_dtype=None, n_shards=1):
     """Pack per-block factors into a PackedLD.
 
     Args:
@@ -262,6 +271,12 @@ def pack(factors, block_indices, n, dtype=np.float64, spill=None,
             capacity ~400x over s/d, and its ~0.4% bf16 rounding is far
             inside LD panel sampling noise; contractions accumulate in
             f32 via jax type promotion. Defaults to `dtype`.
+        n_shards: >1 builds a shard-local layout (PackedLD.shard_count):
+            requires a row-aligned layout where n divides evenly into
+            n_shards 128-multiple spans and no block straddles a span
+            boundary (parallel/alignment.compute_layout produces such
+            layouts). Bucket rows come out shard-major with equal
+            per-shard counts and grows/srows hold shard-local row ids.
     """
     if u_dtype is None:
         u_dtype = dtype
@@ -304,9 +319,42 @@ def pack(factors, block_indices, n, dtype=np.float64, spill=None,
             break
         claimed |= rows
 
+    shard_rows = 0
+    if n_shards > 1:
+        # shard-local contract: the layout must come from a shard-aware
+        # planner (parallel/alignment.compute_layout) — violations here
+        # are layout bugs, not data conditions, hence hard errors
+        if not row_aligned:
+            raise ValueError('shard-local packing (n_shards > 1) requires '
+                             'a row-aligned layout')
+        shard_rows = n // n_shards
+        if n % n_shards or shard_rows % 128:
+            raise ValueError('shard-local packing needs n to divide into '
+                             'n_shards spans of 128-multiple length')
+        for ix in block_indices:
+            ix = np.asarray(ix)
+            if int(ix[0]) // shard_rows != int(ix[-1]) // shard_rows:
+                raise ValueError('an LD block straddles a shard-span '
+                                 'boundary; the layout planner must '
+                                 'keep blocks whole per shard')
+
     buckets = []
     for (pmax, rmax), items in sorted(groups.items()):
-        B = len(items)
+        if n_shards > 1:
+            # shard-major rows with equal per-shard counts, so a P('snp')
+            # sharding of the block axis gives every device exactly its
+            # own shard's blocks
+            per_shard = [[] for _ in range(n_shards)]
+            for it in items:
+                per_shard[int(np.asarray(it[1])[0]) // shard_rows].append(it)
+            rows_per_shard = max(len(p) for p in per_shard)
+            B = n_shards * rows_per_shard
+            placed = {s_i * rows_per_shard + k: it
+                      for s_i, p in enumerate(per_shard)
+                      for k, it in enumerate(p)}
+        else:
+            B = len(items)
+            placed = dict(enumerate(items))
         rpb = pmax // 128 if pmax % 128 == 0 else 0
         if rpb == 0:
             row_aligned = False
@@ -322,8 +370,11 @@ def pack(factors, block_indices, n, dtype=np.float64, spill=None,
         perm = np.full((B, pmax), n, dtype=np.int32)
         seq = np.full((B, pmax), n, dtype=np.int32)
         grows = np.zeros((B, rpb), dtype=np.int32)
-        srows = np.zeros((B, rpb), dtype=np.int32)
-        for b, (f, ix, start) in enumerate(items):
+        # unplaced (per-shard padding) rows produce all-zero results; -1
+        # routes their writes to the trash row anyway
+        srows = np.full((B, rpb), -1 if n_shards > 1 else 0,
+                        dtype=np.int32)
+        for b, (f, ix, start) in placed.items():
             u[b, :f.n, :f.r] = f.u
             s[b, :f.r] = f.s
             # reference inv_s semantics (matrix_structures.py:140-145):
@@ -335,7 +386,11 @@ def pack(factors, block_indices, n, dtype=np.float64, spill=None,
             perm[b, :f.n] = ix
             seq[b, :f.n] = np.arange(start, start + f.n, dtype=np.int32)
             if row_aligned:
-                r0 = int(ix[0]) // 128
+                # shard-local row ids when sharded (each device's matvec
+                # sees only its own span), global otherwise
+                base = ((int(ix[0]) // shard_rows) * shard_rows
+                        if n_shards > 1 else 0)
+                r0 = (int(ix[0]) - base) // 128
                 grows[b] = r0 + np.arange(rpb)
                 live = -(-f.n // 128)
                 # rows past the block's live extent target a trash row
@@ -361,7 +416,8 @@ def pack(factors, block_indices, n, dtype=np.float64, spill=None,
     rank = float(sum(f.rank for f in factors))
     return PackedLD(buckets=tuple(buckets), n=n, inverted=False,
                     has_diag=has_diag, rank=rank, missing=missing,
-                    row_aligned=row_aligned)
+                    row_aligned=row_aligned,
+                    shard_count=n_shards if n_shards > 1 else 1)
 
 
 def from_dense_blocks(blocks, block_indices, n, t=1.0, dtype=np.float64):
@@ -453,6 +509,27 @@ def _bucket_dot_multi(bk, xb):
     return jnp.einsum('bpr,bcr->bcp', bk.u, t) + bk.d[:, None, :] * xb
 
 
+def _dot_multi_rows(buckets, n, vectors):
+    """Row-aligned multi-RHS body (see `_dot_rows`); also the per-shard
+    local body of `_dot_multi_sharded`."""
+    C = vectors.shape[0]
+    max_rpb = max((bk.pmax // 128 for bk in buckets), default=1)
+    rows = -(-n // 128) + max_rpb + 1
+    x2 = jnp.zeros((C, rows * 128), vectors.dtype)
+    x2 = x2.at[:, :n].set(vectors).reshape(C, rows, 128)
+    y2 = jnp.zeros_like(x2)
+    for bk in buckets:
+        B, P = bk.d.shape
+        xb = jnp.stack([x2[c][bk.grows].reshape(B, P) for c in range(C)],
+                       axis=1)                              # [B, C, P]
+        yb = _bucket_dot_multi(bk, xb)
+        tgt = jnp.where(bk.srows < 0, rows - 1, bk.srows)
+        for c in range(C):
+            y2 = y2.at[c, tgt.reshape(-1)].add(
+                yb[:, c].reshape(B * (P // 128), 128))
+    return y2.reshape(C, -1)[:, :n]
+
+
 def dot_multi(ld, vectors):
     """Matrix @ each of C vectors in ONE pass over the LD factors.
 
@@ -462,6 +539,8 @@ def dot_multi(ld, vectors):
     per vector — the engine uses this for cohorts that share an LD
     matrix (engine._ld_scaled_dot, ModelData.ld_index)."""
     C, n = vectors.shape
+    if ld.shard_count > 1:
+        return _dot_multi_sharded(ld, vectors)
     if C == 1:
         return dot(ld, vectors[0])[None, :]
     if not ld.row_aligned:
@@ -475,38 +554,24 @@ def dot_multi(ld, vectors):
             out = out.at[bk.perm.reshape(-1)].add(
                 jnp.moveaxis(yb, 1, 2).reshape(-1, C), mode='drop')
         return out[:n].T
-    max_rpb = max((bk.pmax // 128 for bk in ld.buckets), default=1)
-    rows = -(-n // 128) + max_rpb + 1
-    x2 = jnp.zeros((C, rows * 128), vectors.dtype)
-    x2 = x2.at[:, :n].set(vectors).reshape(C, rows, 128)
-    y2 = jnp.zeros_like(x2)
-    for bk in ld.buckets:
-        B, P = bk.d.shape
-        xb = jnp.stack([x2[c][bk.grows].reshape(B, P) for c in range(C)],
-                       axis=1)                              # [B, C, P]
-        yb = _bucket_dot_multi(bk, xb)
-        tgt = jnp.where(bk.srows < 0, rows - 1, bk.srows)
-        for c in range(C):
-            y2 = y2.at[c, tgt.reshape(-1)].add(
-                yb[:, c].reshape(B * (P // 128), 128))
-    return y2.reshape(C, -1)[:, :n]
+    return _dot_multi_rows(ld.buckets, n, vectors)
 
 
-def _dot_row_aligned(ld, vector):
+def _dot_rows(buckets, n, vector):
     """Row-wise gather/scatter matvec for 128-aligned contiguous blocks.
 
     TPU elementwise gathers move ~70M elements/s; transferring whole
     128-lane rows is ~4x faster. The vector is viewed as [rows, 128];
     each block reads/writes its exclusive row range (pad tails of the
     widest bucket may read into neighbours — harmless — while writes are
-    routed to a trash row)."""
-    n = ld.n
-    max_rpb = max((bk.pmax // 128 for bk in ld.buckets), default=1)
+    routed to a trash row). Also the per-shard local body of
+    `_dot_sharded` (with n = the shard's span and shard-local tables)."""
+    max_rpb = max((bk.pmax // 128 for bk in buckets), default=1)
     rows = -(-n // 128) + max_rpb + 1      # slack rows + 1 trash row
     x2 = jnp.zeros((rows, 128), vector.dtype)
     x2 = x2.reshape(-1).at[:n].set(vector).reshape(rows, 128)
     y2 = jnp.zeros_like(x2)
-    for bk in ld.buckets:
+    for bk in buckets:
         B, P = bk.d.shape
         xb = x2[bk.grows].reshape(B, P)
         yb = _bucket_dot(bk, xb)
@@ -517,10 +582,62 @@ def _dot_row_aligned(ld, vector):
     return y2.reshape(-1)[:n]
 
 
+def _bucket_specs(ld):
+    from jax.sharding import PartitionSpec as P
+    spec = P('snp')
+    return tuple(BlockBucket(u=spec, s=spec, inv_s=spec, d=spec,
+                             perm=spec, grows=spec, srows=spec, seq=spec)
+                 for _ in ld.buckets)
+
+
+def _require_mesh():
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is None or not mesh.axis_names or 'snp' not in mesh.axis_names:
+        raise RuntimeError("a shard-local PackedLD (shard_count > 1) "
+                           "needs an ambient mesh with a 'snp' axis: "
+                           "wrap the call in jax.set_mesh(mesh)")
+    return mesh
+
+
+def _dot_sharded(ld, vector):
+    """Collective-free sharded matvec: one shard_map over the 'snp' axis.
+
+    Every device runs `_dot_rows` on its own span of the vector with its
+    own blocks (the shard-local layout guarantees block/span alignment),
+    so the genome<->block data movement never crosses devices — unlike
+    the gather/scatter path, whose global row ids cost two O(I)
+    all-gathers + one O(I) all-reduce per call under SPMD partitioning.
+    """
+    from jax.sharding import PartitionSpec as P
+    _require_mesh()
+    n_local = ld.n // ld.shard_count
+
+    def local(v, buckets):
+        return _dot_rows(buckets, n_local, v)
+
+    return jax.shard_map(local, in_specs=(P('snp'), _bucket_specs(ld)),
+                         out_specs=P('snp'))(vector, ld.buckets)
+
+
+def _dot_multi_sharded(ld, vectors):
+    from jax.sharding import PartitionSpec as P
+    _require_mesh()
+    n_local = ld.n // ld.shard_count
+
+    def local(vs, buckets):
+        return _dot_multi_rows(buckets, n_local, vs)
+
+    return jax.shard_map(local,
+                         in_specs=(P(None, 'snp'), _bucket_specs(ld)),
+                         out_specs=P(None, 'snp'))(vectors, ld.buckets)
+
+
 def dot(ld, vector):
     """Matrix @ vector (reference matrix_structures.py:389-408)."""
+    if ld.shard_count > 1:
+        return _dot_sharded(ld, vector)
     if ld.row_aligned:
-        return _dot_row_aligned(ld, vector)
+        return _dot_rows(ld.buckets, ld.n, vector)
     x_ext = _extend(vector)
     parts = []
     for bk in ld.buckets:
@@ -747,8 +864,9 @@ def matrix_power(ld, power):
             bk, s=s_new.astype(bk.s.dtype),
             inv_s=inv_s_new.astype(bk.s.dtype), perm=bk.seq))
     # the sequential layout invalidates the row-aligned gather tables
+    # (and with them the shard-local dispatch)
     return dataclasses.replace(ld, buckets=tuple(new_buckets),
-                               row_aligned=False)
+                               row_aligned=False, shard_count=1)
 
 
 def to_dense(ld):

@@ -66,12 +66,27 @@ def _block_factor(ld, bucket_idx, block_idx, num_rows):
         rank=int(np.sum(s[:r] > 0)) if s[:r].size else 0)
 
 
-def compute_layout(lds, n):
+def _seg_pad(a, b):
+    return int(-(-(b - a) // 128) * 128)
+
+
+def compute_layout(lds, n, n_shards=1):
     """Build the genome->layout map.
 
     Returns (layout_map [n] int32, L, ok). ok=False when any cohort has
-    non-contiguous blocks (caller should skip alignment)."""
+    non-contiguous blocks (caller should skip alignment).
+
+    With n_shards > 1 the layout is additionally SHARD-LOCAL: L divides
+    into n_shards equal 128-multiple spans and no LD block (of any
+    cohort) straddles a span boundary, so ops/blocks.pack(n_shards=...)
+    can build the collective-free shard_map matvec. Shard boundaries may
+    only fall between *block-connected components* (maximal runs of
+    overlapping blocks across all cohorts); components are assigned to
+    shards greedily in genome order, with uncovered (LD-missing) runs
+    splittable anywhere, and every shard padded to the longest shard's
+    span."""
     boundaries = {0, n}
+    intervals = []
     for ld in lds:
         ranges = _block_intervals(ld)
         if ranges is None:
@@ -79,24 +94,93 @@ def compute_layout(lds, n):
         for a, b, _, _, _ in ranges:
             boundaries.add(a)
             boundaries.add(b)
+            intervals.append((a, b))
     cuts = np.array(sorted(boundaries), dtype=np.int64)
+    segs = list(zip(cuts[:-1].tolist(), cuts[1:].tolist()))
+    if n_shards <= 1:
+        layout_map = np.empty(n, dtype=np.int32)
+        pos = 0
+        for a, b in segs:
+            layout_map[a:b] = pos + np.arange(b - a)
+            pos += _seg_pad(a, b)
+        return layout_map, pos, True
+
+    # block-connected components: the atomic units a shard must own whole
+    intervals.sort()
+    comps = []
+    cur = None
+    for a, b in intervals:
+        if cur is None or a >= cur[1]:
+            if cur is not None:
+                comps.append(tuple(cur))
+            cur = [a, b]
+        else:
+            cur[1] = max(cur[1], b)
+    if cur is not None:
+        comps.append(tuple(cur))
+
+    # units in genome order: ('atom', segments-of-one-component) or
+    # ('gap', one uncovered segment — splittable anywhere)
+    units = []
+    ci = 0
+    for a, b in segs:
+        while ci < len(comps) and comps[ci][1] <= a:
+            ci += 1
+        if ci < len(comps) and comps[ci][0] <= a < comps[ci][1]:
+            if units and units[-1][0] == 'atom' and units[-1][2] == ci:
+                units[-1][1].append((a, b))
+            else:
+                units.append(('atom', [(a, b)], ci))
+        else:
+            units.append(('gap', [(a, b)], None))
+
+    total = sum(_seg_pad(a, b) for a, b in segs)
+    target = _seg_pad(0, -(-total // n_shards))   # per-shard goal, 128-mult
+    shards = [[] for _ in range(n_shards)]      # (a, b) pieces per shard
+    fills = [0] * n_shards
+    s = 0
+    for kind, pieces, _ in units:
+        if kind == 'atom':
+            usize = sum(_seg_pad(a, b) for a, b in pieces)
+            if s < n_shards - 1 and fills[s] > 0 \
+                    and fills[s] + usize > target:
+                s += 1
+            shards[s].extend(pieces)
+            fills[s] += usize
+            continue
+        a, b = pieces[0]
+        while a < b:
+            if s < n_shards - 1 and fills[s] >= target:
+                s += 1
+            if s == n_shards - 1:
+                shards[s].append((a, b))
+                fills[s] += _seg_pad(a, b)
+                break
+            take = min(b - a, target - fills[s])   # room is a 128 multiple
+            shards[s].append((a, a + take))
+            fills[s] += _seg_pad(a, a + take)
+            a += take
+    shard_rows = max(max(fills), 128)
     layout_map = np.empty(n, dtype=np.int32)
-    pos = 0
-    for a, b in zip(cuts[:-1], cuts[1:]):
-        seg = b - a
-        layout_map[a:b] = pos + np.arange(seg)
-        pos += int(-(-seg // 128) * 128)    # pad segment to multiple of 128
-    return layout_map, pos, True
+    for s, pieces in enumerate(shards):
+        pos = s * shard_rows
+        for a, b in pieces:
+            layout_map[a:b] = pos + np.arange(b - a)
+            pos += _seg_pad(a, b)
+    return layout_map, n_shards * shard_rows, True
 
 
 def relayout_ld(ld, layout_map, L, dtype=None, spill=None,
-                u_dtype=None):
+                u_dtype=None, n_shards=1):
     """Rebuild a PackedLD in layout coordinates (zero rows at pads).
 
     spill: optional blocks.FactorSpill — relayouted factor payloads then
     stage through disk (one block in RAM at a time) and the repacked
     bucket tensors assemble into disk-backed memmaps, preserving
-    --mmap's bounded-host-RAM contract through the relayout."""
+    --mmap's bounded-host-RAM contract through the relayout.
+
+    n_shards: pass the compute_layout(n_shards=...) value to produce a
+    shard-local PackedLD (blocks.pack docstring)."""
     if dtype is None:
         dtype = np.asarray(ld.buckets[0].u[:1]).dtype if ld.buckets \
             else np.float64
@@ -124,7 +208,7 @@ def relayout_ld(ld, layout_map, L, dtype=None, spill=None,
         indices.append(np.arange(span_start, span_start + span_len,
                                  dtype=np.int32))
     out = blocks_mod.pack(factors, indices, L, dtype=dtype, spill=spill,
-                          u_dtype=u_dtype)
+                          u_dtype=u_dtype, n_shards=n_shards)
     if not out.row_aligned:
         raise AssertionError('aligned relayout failed to produce a '
                              'row-aligned PackedLD')
