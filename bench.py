@@ -394,6 +394,111 @@ def main():
     }))
 
 
+def _build_mesh(dtype, n_shards):
+    """Shard-local problem for the mesh scaling leg (CPU simulation or a
+    real pod): same synthetic fit as _build, relayouted into n_shards
+    shard-local spans (parallel/alignment) and placed on a snp mesh."""
+    import jax
+    from vilma_tpu.inference import engine
+    from vilma_tpu.parallel import alignment, mesh as mesh_mod
+    from vilma_tpu.utils import synthetic
+
+    ld = _cached_ld(dtype)
+    rng = np.random.default_rng(1)
+    P = NUM_POPS
+    std_errs = rng.uniform(0.01, 0.05, (P, NUM_LOCI))
+    betas = rng.standard_normal((P, NUM_LOCI)) * std_errs * 2
+    scales = np.exp(np.linspace(np.log(1e-6), np.log(1e-2),
+                                NUM_COMPONENTS))
+    covs = []
+    for k in range(NUM_COMPONENTS):
+        a = rng.standard_normal((P, P))
+        corr = 0.3 * (a @ a.T) + P * np.eye(P)
+        d = 1 / np.sqrt(np.diag(corr))
+        covs.append(scales[k] * (corr * np.outer(d, d)))
+    annotations = np.zeros((NUM_LOCI, 4))
+    annotations[np.arange(NUM_LOCI), rng.integers(0, 4, NUM_LOCI)] = 1
+
+    mesh = mesh_mod.make_mesh(n_snp=n_shards, n_comp=1)
+    lmap, L, ok = alignment.compute_layout([ld], NUM_LOCI,
+                                           n_shards=n_shards)
+    assert ok, 'bench LD blocks must be contiguous ranges'
+    lds = alignment.relayout_ld(ld, lmap, L, dtype=dtype,
+                                n_shards=n_shards)
+    betas = alignment.relayout_rows(betas, lmap, L, fill=0.0)
+    std_errs = alignment.relayout_rows(std_errs, lmap, L, fill=1.0)
+    annotations = alignment.relayout_annotations(annotations, lmap, L)
+    with jax.set_mesh(mesh):
+        data = engine.build_model_data(
+            betas.astype(dtype), std_errs.astype(dtype), [lds] * P,
+            annotations, covs, scaled=False, scale_se=False,
+            gwas_N=np.full(P, 1e5), init_hg=np.full(P, 0.3), dtype=dtype)
+        state = synthetic.synthetic_state(data)
+        data = mesh_mod.shard_data(data, mesh)
+        state = mesh_mod.shard_state(state, mesh)
+    return mesh, data, state
+
+
+def mesh_worker_main():
+    """One point of the scaling curve (subprocess: the virtual device
+    count must be set before backend init)."""
+    import jax
+    n = int(os.environ['BENCH_MESH_N'])
+    jax.config.update('jax_platforms', os.environ.get(
+        'BENCH_MESH_PLATFORM', 'cpu'))
+    _enable_compile_cache()
+    dtype = np.float32
+    mesh, data, state = _build_mesh(dtype, n)
+    with jax.set_mesh(mesh):
+        ips = _bench_steps(data, state, int(os.environ.get(
+            'BENCH_MESH_STEPS', '5')))
+    print('MESH_IPS', n, ips, flush=True)
+
+
+def mesh_main():
+    """Scaling curve: iters/s at 1/2/4/8 mesh shards.
+
+    On this CI host the devices are XLA host-platform simulations
+    sharing the same cores, so the curve validates the sharded program's
+    SHAPE (compiles, runs, no collective blow-up as N grows) rather than
+    speedup. On a real pod slice, run each point with real devices:
+
+        fit --mesh snp=N --distributed ...   (see BASELINE.md)
+    """
+    import subprocess
+    import sys
+    points = [int(x) for x in os.environ.get(
+        'BENCH_MESH_POINTS', '1,2,4,8').split(',')]
+    curve = {}
+    for n in points:
+        env = dict(os.environ)
+        env['BENCH_MESH_N'] = str(n)
+        env['JAX_PLATFORMS'] = 'cpu'
+        env['XLA_FLAGS'] = (env.get('XLA_FLAGS', '')
+                            + f' --xla_force_host_platform_device_count={n}'
+                            ).strip()
+        env['PYTHONPATH'] = (os.path.dirname(os.path.abspath(__file__))
+                             + os.pathsep + env.get('PYTHONPATH', ''))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), '--mesh-worker'],
+            capture_output=True, text=True, timeout=3600, env=env)
+        for line in out.stdout.splitlines():
+            if line.startswith('MESH_IPS'):
+                curve[n] = float(line.split()[2])
+        if n not in curve:
+            print(f'mesh point N={n} failed:\n{out.stderr[-1500:]}',
+                  file=sys.stderr)
+    base = curve.get(points[0])
+    print(json.dumps({
+        'metric': f'mesh_scaling_iters_per_s_{_SIZE}_snp',
+        'value': curve.get(max(curve) if curve else 0, 0.0),
+        'unit': 'iters/s',
+        'curve': curve,
+        'relative': {n: round(v / base, 3) for n, v in curve.items()}
+        if base else {},
+    }))
+
+
 def selftest_main():
     """Compile-and-check the Mosaic kernel on the attached TPU for every
     supported bucket tier (see vilma_tpu/ops/pallas/selftest.py: interpret
@@ -414,6 +519,10 @@ if __name__ == '__main__':
     import sys
     if '--selftest' in sys.argv:
         selftest_main()
+    elif '--mesh-worker' in sys.argv:
+        mesh_worker_main()
+    elif '--mesh' in sys.argv:
+        mesh_main()
     elif '--accel' in sys.argv:
         accel_main()
     else:
