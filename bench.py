@@ -237,7 +237,7 @@ def _build(dtype, device):
             betas.astype(dtype), std_errs.astype(dtype), [ld] * P,
             annotations, covs, scaled=False, scale_se=False,
             gwas_N=np.full(P, 1e5), init_hg=np.full(P, 0.3), dtype=dtype)
-        state = synthetic.synthetic_state(data)
+        state = synthetic.synthetic_state(data, compact=True)
     data = jax.device_put(data, device)
     state = jax.device_put(state, device)
     return data, state
@@ -433,7 +433,7 @@ def _build_mesh(dtype, n_shards):
             betas.astype(dtype), std_errs.astype(dtype), [lds] * P,
             annotations, covs, scaled=False, scale_se=False,
             gwas_N=np.full(P, 1e5), init_hg=np.full(P, 0.3), dtype=dtype)
-        state = synthetic.synthetic_state(data)
+        state = synthetic.synthetic_state(data, compact=True)
         data = mesh_mod.shard_data(data, mesh)
         state = mesh_mod.shard_state(state, mesh)
     return mesh, data, state

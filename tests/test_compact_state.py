@@ -1,0 +1,98 @@
+"""Compact [P, I] natural-mean representation vs the materialized path.
+
+The natural gradient is constant across mixture components (reference
+variational_inference.py:804-823), so for non-scale_se fits the whole
+beta family is one shared [P, I] natural mean and every [K, *, I]
+quantity is a closed form of it (engine.VIState docstring). These tests
+pin trajectory-level equality between the two representations.
+"""
+import dataclasses
+
+import numpy as np
+import pytest
+
+from vilma_tpu.inference import engine
+from vilma_tpu.utils import synthetic
+
+
+def _pair(num_pops=2, seed=3, **kw):
+    data = synthetic.synthetic_problem(num_loci=256, num_pops=num_pops,
+                                       num_components=4, block_size=32,
+                                       num_annotations=2, **kw)
+    st_c = synthetic.synthetic_state(data, seed=seed, compact=True)
+    # the materialized twin of the SAME parameter point
+    mat = engine.materialize_state(data, st_c)
+    st_l = dataclasses.replace(mat, nat_mu=None, elbo=st_c.elbo)
+    return data, st_c, st_l
+
+
+@pytest.mark.parametrize('num_pops', [1, 2, 3])
+def test_compact_trajectory_matches_materialized(num_pops):
+    data, st_c, st_l = _pair(num_pops=num_pops)
+    for _ in range(6):
+        st_c, pm_c = engine.outer_step(data, st_c, line_search_rate=2.0)
+        st_l, pm_l = engine.outer_step(data, st_l, line_search_rate=2.0)
+        assert np.allclose(np.asarray(pm_c), np.asarray(pm_l),
+                           rtol=1e-12, atol=1e-14)
+        assert np.isclose(float(st_c.elbo), float(st_l.elbo), rtol=1e-12)
+    assert np.allclose(np.asarray(st_c.hyper_delta),
+                       np.asarray(st_l.hyper_delta), rtol=1e-12)
+    assert np.allclose(np.asarray(st_c.L), np.asarray(st_l.L))
+    # materialized views of the final states agree
+    m_c = engine.materialize_state(data, st_c)
+    assert np.allclose(np.asarray(m_c.vi_mu), np.asarray(st_l.vi_mu),
+                       rtol=1e-10, atol=1e-13)
+    assert np.allclose(np.asarray(m_c.vi_delta), np.asarray(st_l.vi_delta),
+                       rtol=1e-10, atol=1e-13)
+
+
+def test_compact_rejects_scale_se():
+    data = synthetic.synthetic_problem(num_loci=64, num_pops=1,
+                                       num_components=2, block_size=16,
+                                       scale_se=True)
+    st = synthetic.synthetic_state(data, compact=False)
+    st = dataclasses.replace(st, nat_mu=np.zeros((1, 64)))
+    with pytest.raises(ValueError, match='scale_se'):
+        engine.outer_step_impl(data, st, line_search_rate=2.0)
+
+
+def test_compact_nat_mu_roundtrip():
+    """compact_nat_mu (checkpoint resume) inverts materialization."""
+    data, st_c, _ = _pair()
+    mat = engine.materialize_state(data, st_c)
+    nat = np.asarray(engine.compact_nat_mu(data, mat.error_scaling,
+                                           mat.vi_mu))
+    assert np.allclose(nat, np.asarray(st_c.nat_mu), rtol=1e-10,
+                       atol=1e-13)
+
+
+def test_multipopvi_uses_compact_and_resumes(tmp_path):
+    """MultiPopVI auto-selects compact for non-scale_se fits; checkpoint
+    resume through the .npz roundtrip preserves the trajectory."""
+    np.random.seed(9)
+    data = synthetic.synthetic_problem(num_loci=128, num_pops=2,
+                                       num_components=3, block_size=32)
+    covs = np.linalg.inv(np.asarray(data.mixture_prec))
+    kw = dict(
+        marginal_effects=np.asarray(data.marginal_effects),
+        std_errs=np.asarray(data.std_errs),
+        ld_mats=[data.ld[0]] * 2,
+        mixture_covs=covs, annotations=np.ones((128, 1)),
+        checkpoint=False, checkpoint_freq=-1, scaled=False,
+        scale_se=False, gwas_N=np.full(2, 1e5), init_hg=np.full(2, 0.3),
+        num_its=12)
+    scheme = engine.MultiPopVI(output=str(tmp_path / 'a'), **kw)
+    assert scheme._compact
+    st = scheme.optimize()
+    assert st.nat_mu is not None and st.vi_mu is not None  # materialized
+    dump = scheme.create_dump_dict(st)
+    np.savez(tmp_path / 'ckpt.npz', **dump)
+    scheme2 = engine.MultiPopVI(output=str(tmp_path / 'b'), **kw)
+    restored = scheme2._state_from_checkpoint(np.load(tmp_path / 'ckpt.npz'))
+    assert restored.nat_mu is not None
+    # the .npz roundtrip reproduces the parameter point exactly
+    assert np.isclose(scheme.elbo_value(st), scheme2.elbo_value(restored),
+                      rtol=1e-10)
+    # and resuming only ever improves it
+    st2 = scheme2.optimize(np.load(tmp_path / 'ckpt.npz'))
+    assert scheme2.elbo_value(st2) >= scheme.elbo_value(st) - 1e-8

@@ -76,11 +76,11 @@ def test_sufficient_statistics_match():
     assert np.allclose(ref.mixture_prec[..., 0],
                        np.asarray(mine.data.mixture_prec))
     assert np.allclose(ref.log_det, np.asarray(mine.data.log_det))
-    # vi_sigma summaries
+    # vi_sigma summaries (materialize: the compact state derives them)
+    st = mine.state or mine._fresh_state()
+    st = engine.materialize_state(mine.data, st)
     assert np.allclose(ref.vi_sigma_log_det,
-                       np.asarray(mine.state.sigma.log_det_sigma)
-                       if mine.state else
-                       np.asarray(mine._fresh_state().sigma.log_det_sigma))
+                       np.asarray(st.sigma.log_det_sigma))
 
 
 def test_initialization_matches():
@@ -88,7 +88,7 @@ def test_initialization_matches():
     np.random.seed(123)
     mu_r, delta_r, hyper_r = ref._initialize()
     np.random.seed(123)
-    st = mine._initialize()
+    st = engine.materialize_state(mine.data, mine._initialize())
     assert np.allclose(mu_r, np.asarray(st.vi_mu), atol=1e-10)
     assert np.allclose(delta_r, np.asarray(st.vi_delta).T, atol=1e-12)
     assert np.allclose(hyper_r, np.asarray(st.hyper_delta), atol=1e-12)

@@ -87,26 +87,46 @@ jax.tree_util.register_dataclass(
 
 @dataclass(frozen=True)
 class VIState:
-    """All mutable optimization state, as one pytree."""
-    vi_mu: jnp.ndarray            # [K, P, I]
+    """All mutable optimization state, as one pytree.
+
+    Two representations share this class:
+
+    * MATERIALIZED (`nat_mu is None`): vi_mu/vi_delta/nat_grad_vi_delta/
+      sigma hold the full per-SNP arrays — the general path, required for
+      `scale_se` fits (the error-scaling EM makes the natural means
+      genuinely K-dependent, see `_outer_step_compact`).
+    * COMPACT (`nat_mu` set, the big fields None): the whole beta family
+      is carried as ONE [P, I] natural mean. The natural gradient is
+      constant in K (reference variational_inference.py:804-823 broadcasts
+      a [P, I] residual), and every update mixes natural means with
+      K-constant steps, so vi_mu[k] == vi_sigma[k] @ nat_mu for one shared
+      nat_mu throughout the trajectory; vi_delta and every vi_sigma
+      summary are closed forms of (nat_mu, hyper_delta, error_scaling).
+      Deriving them lazily inside each fused evaluation cuts per-iteration
+      HBM traffic from O(K*P*I) to O(P*I) — measured 40.3 GB -> a few GB
+      per outer step at I=1M, K=18, where the chip was already running at
+      ~763 GB/s effective (profiled; the matvec itself was only 2.1 GB).
+    """
+    vi_mu: jnp.ndarray            # [K, P, I] (None in compact mode)
     vi_delta: jnp.ndarray         # [K, I] (K-major; the reference's
     #   vi_delta is its [I, K] transpose — see kernels.fast_posterior_mean
     #   for the TPU lane-padding rationale; .npz checkpoints keep [I, K])
     hyper_delta: jnp.ndarray      # [A, K]
     error_scaling: jnp.ndarray    # [P]
-    nat_grad_vi_delta: jnp.ndarray  # [K-1, I]
-    sigma: sigma_mod.SigmaSummaries
+    nat_grad_vi_delta: jnp.ndarray  # [K-1, I] (None in compact mode)
+    sigma: sigma_mod.SigmaSummaries   # (None in compact mode)
     L: jnp.ndarray                # [3] per-paramset Lipschitz estimates
     elbo: jnp.ndarray             # scalar (tracked via deltas)
     running_elbo_delta: jnp.ndarray  # scalar; nan = not yet initialized
     num_err: jnp.ndarray          # int32 count of line-search failures
+    nat_mu: jnp.ndarray = None    # [P, I] compact natural mean, or None
 
 
 jax.tree_util.register_dataclass(
     VIState,
     data_fields=('vi_mu', 'vi_delta', 'hyper_delta', 'error_scaling',
                  'nat_grad_vi_delta', 'sigma', 'L', 'elbo',
-                 'running_elbo_delta', 'num_err'),
+                 'running_elbo_delta', 'num_err', 'nat_mu'),
     meta_fields=(),
 )
 
@@ -242,6 +262,22 @@ elbo_jit = jax.jit(
     elbo(data, sigma, error_scaling, vi_mu, vi_delta, hyper_delta))
 
 
+@jax.jit
+def elbo_compact_jit(data, error_scaling, nat_mu, hyper_delta):
+    """ELBO of a compact state (everything derived in-graph)."""
+    sigma, vi_mu, vi_delta = _derive_params(data, error_scaling, nat_mu,
+                                            hyper_delta)
+    return elbo(data, sigma, error_scaling, vi_mu, vi_delta, hyper_delta)
+
+
+@jax.jit
+def _scaled_posterior_mean_compact(data, error_scaling, nat_mu,
+                                   hyper_delta):
+    _, vi_mu, vi_delta = _derive_params(data, error_scaling, nat_mu,
+                                        hyper_delta)
+    return posterior_mean(vi_mu, vi_delta) * data.scalings
+
+
 def nat_to_not_vi_delta(data, sigma, error_scaling, vi_mu,
                         nat_grad_vi_delta):
     """Closed-form vi_delta from current natural parameters
@@ -256,15 +292,21 @@ def nat_to_not_vi_delta(data, sigma, error_scaling, vi_mu,
 # Updates
 # ---------------------------------------------------------------------------
 
+def _nat_grad_resid(data, error_scaling, post_mean, linked_raw):
+    """The [P, I] natural-gradient residual (constant across mixture
+    components — the structural fact the compact representation exploits)."""
+    linked = kernels.fast_linked_ests(linked_raw, data.std_errs, post_mean,
+                                      data.scaled_ld_diags)
+    return (data.adj_marginal_effects - linked) / error_scaling[:, None]
+
+
 def _nat_grad_beta(data, error_scaling, post_mean, linked_raw):
     """Natural gradient for the beta family
     (variational_inference.py:804-823). Takes the posterior mean and the
     raw matvec linked_raw = LD.(post_mean/SE) already computed by the
     objective evaluation of the same parameters (exact reuse — the
     reference recomputes them). Returns [K, P, I] (constant in K)."""
-    linked = kernels.fast_linked_ests(linked_raw, data.std_errs, post_mean,
-                                      data.scaled_ld_diags)
-    resid = (data.adj_marginal_effects - linked) / error_scaling[:, None]
+    resid = _nat_grad_resid(data, error_scaling, post_mean, linked_raw)
     K = data.mixture_prec.shape[0]
     return jnp.broadcast_to(resid[None], (K,) + resid.shape)
 
@@ -427,12 +469,243 @@ def _update_error_scaling(data, st, orig_obj, post_means, linked):
     return st, new_obj - orig_obj
 
 
+# ---------------------------------------------------------------------------
+# Compact-representation step (see the VIState docstring). Every [K, *, I]
+# quantity is re-derived from the [P, I] natural mean inside the consuming
+# fusion, so the per-iteration HBM traffic is O(P*I) plus the LD pass.
+#
+# Not valid for scale_se fits: the error-scaling EM recomputes vi_delta
+# from the OLD vi_mu under the NEW scaling
+# (variational_inference.py:735-738), which injects genuine K-dependence
+# into subsequent natural means ((prec_k + d_new) @ sigma_k^{old} @ m is
+# not constant in k); those fits use the materialized path.
+# ---------------------------------------------------------------------------
+
+def _derive_params(data, error_scaling, nat_mu, hyper_delta):
+    """(sigma, vi_mu [K,P,I], vi_delta [K,I]) derived from the compact
+    state — traced lazily so XLA fuses the K axis into consumers."""
+    dterm = _diag_term(data, error_scaling)
+    sigma = sigma_mod.make_summaries(data.mixture_prec, data.log_det,
+                                     dterm)
+    nat_vd = kernels.fast_vi_delta_grad(hyper_delta, data.log_det,
+                                        data.annotations)
+    K = data.mixture_prec.shape[0]
+    nat_b = jnp.broadcast_to(nat_mu[None], (K,) + nat_mu.shape)
+    vi_mu = sigma_mod.apply_sigma(data.mixture_prec, dterm, nat_b)
+    vi_delta = kernels.fast_invert_nat_vi_delta(
+        vi_mu, nat_b, sigma.log_det_sigma, nat_vd)
+    return sigma, vi_mu, vi_delta
+
+
+def _objective_compact(data, st, nat_mu, hyper_delta):
+    """(objective, post_means, linked) of a compact parameter point.
+
+    Hand-staged rather than routed through `_derive_params` +
+    `_beta_objective_terms`: the generic route leaves XLA free to
+    materialize the derived [K,P,I]/[K,I] intermediates between fusions
+    (profiled at 1M SNPs: it did, keeping per-evaluation HBM traffic at
+    ~6.4 GB). Here every per-component quantity is an inline closed-form
+    expression and all K-reductions are siblings over shared producers,
+    which XLA multi-output-fuses into a few passes. Same math as the
+    materialized path (reference variational_inference.py:452-490,
+    632-641, 868-885), identical up to float reassociation.
+    """
+    eps = epsilon(nat_mu.dtype)
+    dterm = _diag_term(data, st.error_scaling)
+    ex = sigma_mod.compact_exprs(data.mixture_prec, dterm, nat_mu)
+
+    # vi_delta logits (fast_invert_nat_vi_delta + fast_vi_delta_grad)
+    A = hyper_delta.shape[0]
+    scores = jnp.log(hyper_delta) - 0.5 * data.log_det       # [A, K]
+    nat_sc = scores[:, :-1] - scores[:, -1:]                 # [A, K-1]
+    natvd = jnp.broadcast_to(nat_sc.T[:, -1:],
+                             (nat_sc.shape[1], nat_mu.shape[1]))
+    for a in range(A - 1):
+        natvd = jnp.where(data.annotations[None, :] == a,
+                          nat_sc.T[:, a:a + 1], natvd)
+    addenda = ex.log_det_sigma + ex.quad                     # [K, I]
+    li = 0.5 * (addenda[:-1] - addenda[-1:]) + natvd         # [K-1, I]
+    m = jnp.max(li, axis=0, keepdims=True, initial=0.0)      # [1, I]
+    e = jnp.exp(li - m)
+    el = jnp.exp(-m)
+    vi_delta = jnp.maximum(
+        jnp.concatenate([e, el], axis=0) / (el + jnp.sum(e, axis=0,
+                                                         keepdims=True)),
+        eps)                                                 # [K, I]
+
+    # posterior moments (fast_posterior_mean / fast_pmv)
+    post_means = jnp.einsum('kpi,ki->pi', ex.mu, vi_delta)
+    second = jnp.einsum('kpi,ki->pi', ex.diag + ex.mu ** 2, vi_delta)
+    post_vars = second - post_means ** 2
+
+    # likelihood (one LD pass)
+    scaled_mu, linked_ests = _ld_scaled_dot(data, post_means)
+    ll = kernels.fast_likelihood(post_means, post_vars, scaled_mu,
+                                 data.scaled_ld_diags, linked_ests,
+                                 data.adj_marginal_effects, data.chi_stat,
+                                 data.ld_ranks, st.error_scaling)
+
+    # beta KL (fast_delta_kl + fast_inner_product_comp + fast_beta_kl)
+    real = (data.annotations < data.num_annotations)[None, :]
+    delta_comp = kernels.fast_delta_kl(vi_delta, hyper_delta,
+                                       data.annotations)
+    inner = 0.5 * jnp.sum(
+        jnp.where(real, ex.quadform * vi_delta, 0.0))
+    ss = (data.log_det[:, None] - ex.log_det_sigma + ex.matches)
+    cov_comp = 0.5 * jnp.sum(jnp.where(real, ss * vi_delta, 0.0))
+    obj = ll - (delta_comp + inner + cov_comp)
+    return obj, post_means, linked_ests
+
+
+def _update_beta_compact(data, st, orig_obj, cur_post_mean, cur_linked,
+                         line_search_rate):
+    """Compact twin of `_update_beta`: the line search mixes ONE [P, I]
+    natural mean (the K-broadcast step of the reference collapses)."""
+    grad = _nat_grad_resid(data, st.error_scaling, cur_post_mean,
+                           cur_linked)
+
+    def trial(L0):
+        nat_new = kernels.sum_betas(st.nat_mu, grad, 1. / L0)   # [P, I]
+        new_obj, pm, lk = _objective_compact(data, st, nat_new,
+                                             st.hyper_delta)
+        return nat_new, new_obj, pm, lk
+
+    threshold = orig_obj - REL_TOL * jnp.abs(orig_obj) - ABS_TOL
+
+    def cond(carry):
+        L0, _, new_obj, _, _ = carry
+        return jnp.logical_and(new_obj < threshold, L0 <= L_MAX)
+
+    def body(carry):
+        L0 = carry[0]
+        L_next = L0 * line_search_rate
+        return (L_next,) + trial(L_next)
+
+    L0 = st.L[0]
+    init = (L0,) + trial(L0)
+    L0, nat_new, new_obj, pm, lk = jax.lax.while_loop(cond, body, init)
+
+    accepted = new_obj >= threshold
+    err = jnp.logical_and(
+        L0 > L_MAX,
+        jnp.logical_not(_isclose(orig_obj, new_obj,
+                                 rtol=_err_rtol(new_obj.dtype))))
+    nat_mu = jnp.where(accepted, nat_new, st.nat_mu)
+    post_mean = jnp.where(accepted, pm, cur_post_mean)
+    linked = jnp.where(accepted, lk, cur_linked)
+    new_obj = jnp.where(accepted, new_obj, orig_obj)
+    return nat_mu, L0, new_obj, post_mean, linked, err.astype(jnp.int32)
+
+
+def _beta_loop_compact(data, st, conv_tol, line_search_rate):
+    """Compact twin of `_beta_loop`: the while carry holds one [P, I]
+    natural mean instead of [K, P, I] + [K, I] tensors."""
+    obj0, pm0, lk0 = _objective_compact(data, st, st.nat_mu,
+                                        st.hyper_delta)
+
+    def body(carry):
+        nat_mu, L0, num_err, orig_obj, pm, lk, delta, it, _ = carry
+        L0 = jnp.maximum(1., L0 / 1.25)
+        cur = dataclasses.replace(st, nat_mu=nat_mu, L=st.L.at[0].set(L0))
+        nat_mu, L0, new_obj, pm, lk, err = _update_beta_compact(
+            data, cur, orig_obj, pm, lk, line_search_rate)
+        delta = delta + new_obj - orig_obj
+        done = jnp.logical_or(
+            jnp.abs(new_obj - orig_obj) <= conv_tol,
+            jnp.logical_or(L0 == 1., L0 > L_MAX))
+        return (nat_mu, L0, num_err + err, new_obj, pm, lk, delta,
+                it + 1, done)
+
+    def cond(carry):
+        it, done = carry[7], carry[8]
+        return jnp.logical_and(it < MAX_NUM_ITERS, jnp.logical_not(done))
+
+    (nat_mu, L0, num_err, obj, pm, lk, delta, _, _) = jax.lax.while_loop(
+        cond, body,
+        (st.nat_mu, st.L[0], st.num_err, obj0, pm0, lk0,
+         jnp.zeros_like(obj0), jnp.asarray(0), jnp.asarray(False)))
+    st = dataclasses.replace(st, nat_mu=nat_mu, L=st.L.at[0].set(L0),
+                             num_err=num_err)
+    return st, delta, obj, pm, lk
+
+
+def _update_hyper_delta_compact(data, st, orig_obj):
+    """Compact twin of `_update_hyper_delta`: vi_delta is derived, the
+    new nat_grad_vi_delta is implied by the new hyper_delta."""
+    eps = epsilon(st.nat_mu.dtype)
+    _, _, vi_delta = _derive_params(data, st.error_scaling, st.nat_mu,
+                                    st.hyper_delta)
+    new_hd = kernels.sum_annotations(vi_delta, data.annotations,
+                                     data.num_annotations)
+    new_hd = jnp.maximum(
+        new_hd / (data.annotation_counts[:, None] + eps), eps)
+    new_hd = new_hd / new_hd.sum(axis=1, keepdims=True)
+    new_obj, pm, lk = _objective_compact(data, st, st.nat_mu, new_hd)
+    st = dataclasses.replace(st, hyper_delta=new_hd)
+    return st, new_obj - orig_obj, new_obj, pm, lk
+
+
+def _outer_step_compact(data, st, line_search_rate):
+    if data.scale_se:
+        raise ValueError('the compact state representation does not '
+                         'support scale_se fits (the error-scaling EM '
+                         'makes natural means K-dependent); build a '
+                         'materialized state instead')
+    # drop any materialized fields (e.g. a state returned by optimize()
+    # and re-stepped): they would go stale the moment nat_mu moves
+    st = dataclasses.replace(st, vi_mu=None, vi_delta=None, sigma=None,
+                             nat_grad_vi_delta=None)
+    conv_tol = jnp.where(jnp.isnan(st.running_elbo_delta),
+                         jnp.inf, 0.1 * st.running_elbo_delta)
+    st, delta_beta, obj, pm, lk = _beta_loop_compact(data, st, conv_tol,
+                                                     line_search_rate)
+    st, delta_hyper, obj, pm, lk = _update_hyper_delta_compact(data, st,
+                                                               obj)
+    new_elbo_delta = delta_beta + delta_hyper
+    red = jnp.where(jnp.isnan(st.running_elbo_delta), new_elbo_delta,
+                    st.running_elbo_delta)
+    red = red * ELBO_MOMENTUM + (1 - ELBO_MOMENTUM) * jnp.maximum(
+        new_elbo_delta, 0)
+    st = dataclasses.replace(st, elbo=st.elbo + new_elbo_delta,
+                             running_elbo_delta=red)
+    # pm is the posterior mean of the final parameters (the hyper-delta
+    # objective evaluation); identical to the recomputation the
+    # materialized path performs
+    return st, pm * data.scalings
+
+
+def materialize_state(data, st):
+    """Fill a compact VIState's derived fields (vi_mu, vi_delta, sigma,
+    nat_grad_vi_delta) — for outputs, checkpoints, and tests. Identity on
+    already-materialized states."""
+    if st.nat_mu is None:
+        return st
+    sigma, vi_mu, vi_delta = jax.jit(_derive_params)(
+        data, st.error_scaling, st.nat_mu, st.hyper_delta)
+    nat_vd = _vi_delta_grad_jit(st.hyper_delta, data.log_det,
+                                data.annotations)
+    return dataclasses.replace(st, vi_mu=vi_mu, vi_delta=vi_delta,
+                               sigma=sigma, nat_grad_vi_delta=nat_vd)
+
+
+def compact_nat_mu(data, error_scaling, vi_mu):
+    """Recover the shared [P, I] natural mean from a materialized vi_mu
+    (checkpoint resume): nat = (prec_0 + diag) @ vi_mu[0]. Exact for any
+    state produced by this engine or the reference (both only ever apply
+    K-constant natural-gradient steps when scale_se is off)."""
+    dterm = _diag_term(data, error_scaling)
+    return (jnp.einsum('pq,qi->pi', data.mixture_prec[0], vi_mu[0])
+            + dterm * vi_mu[0])
+
+
 def outer_step_impl(data, st, line_search_rate=2.0):
     """One full coordinate-ascent iteration
     (reference _optimize_step/_nat_grad_step,
     variational_inference.py:396-450). Pure function — jit via
     `outer_step`, or chain multiple iterations on-device with lax
     loops (see bench.py)."""
+    if st.nat_mu is not None:
+        return _outer_step_compact(data, st, line_search_rate)
     conv_tol = jnp.where(jnp.isnan(st.running_elbo_delta),
                          jnp.inf, 0.1 * st.running_elbo_delta)
     st, delta_beta, obj, pm, lk = _beta_loop(data, st, conv_tol,
@@ -506,7 +779,9 @@ def make_fake_mu(data_np_inverse_betas, std_errs, ld_diags):
 @jax.jit
 def initialize_from_fake_mu(data, sigma, error_scaling, fake_mu):
     """Device-side remainder of _initialize
-    (variational_inference.py:658-700)."""
+    (variational_inference.py:658-700). Also returns the shared [P, I]
+    natural mean (`temp_nat_mu`) that generates vi_mu — the compact
+    representation's whole beta state."""
     eps = epsilon(fake_mu.dtype)
     probs = jnp.einsum('pi,oi,kpo->ki', 1.6 * fake_mu, 1.6 * fake_mu,
                        data.mixture_prec)
@@ -535,7 +810,7 @@ def initialize_from_fake_mu(data, sigma, error_scaling, fake_mu):
     vi_delta = kernels.fast_invert_nat_vi_delta(
         vi_mu, sigma_mod.apply_precision(data.mixture_prec, dterm, vi_mu),
         sigma.log_det_sigma, nat_vi_delta)
-    return vi_mu, vi_delta, hyper, nat_vi_delta
+    return vi_mu, vi_delta, hyper, nat_vi_delta, temp_nat_mu
 
 
 # ---------------------------------------------------------------------------
@@ -864,6 +1139,11 @@ class MultiPopVI:
         assert self._out_index.max(initial=-1) < self._padded_loci
         self.num_mix = self.data.mixture_prec.shape[0]
         self.num_annotations = self.data.num_annotations
+        # the compact [P, I] state applies whenever the natural means stay
+        # K-constant (no error-scaling EM) and the closed-form sigma
+        # algebra covers P (models/sigma.py) — i.e. every production fit
+        # except --learn-scaling
+        self._compact = (not scale_se) and self.num_pops <= 3
         self.state = None
 
     def _mesh_ctx(self):
@@ -898,12 +1178,24 @@ class MultiPopVI:
             error_scaling = np.ones(self.num_pops, dtype=dtype)
         else:
             error_scaling = np.asarray(error_scaling, dtype=dtype)
+        K = self.num_mix
+        zeros = lambda *s: np.zeros(s, dtype=dtype)  # noqa: E731
+        if self._compact:
+            return VIState(
+                vi_mu=None, vi_delta=None, nat_grad_vi_delta=None,
+                sigma=None,
+                nat_mu=zeros(self.num_pops, self._padded_loci),
+                hyper_delta=zeros(self.num_annotations, K),
+                error_scaling=error_scaling,
+                L=np.ones(3, dtype=dtype),
+                elbo=np.asarray(0., dtype=dtype),
+                running_elbo_delta=np.asarray(np.nan, dtype=dtype),
+                num_err=np.asarray(0, dtype=np.int32),
+            )
         sig = _make_summaries_jit(self.data.mixture_prec,
                                   self.data.log_det,
                                   self.data.scaled_ld_diags,
                                   error_scaling)
-        K = self.num_mix
-        zeros = lambda *s: np.zeros(s, dtype=dtype)  # noqa: E731
         return VIState(
             vi_mu=zeros(K, self.num_pops, self._padded_loci),
             vi_delta=zeros(K, self._padded_loci),
@@ -933,8 +1225,17 @@ class MultiPopVI:
         logging.info('Max |inverse_beta| at initialization: %f',
                      float(np.max(np.abs(_fetch(
                          self.data.inverse_betas)))))
-        vi_mu, vi_delta, hyper, nat_vd = initialize_from_fake_mu(
-            self.data, st.sigma, st.error_scaling, fake_mu)
+        sig = st.sigma
+        if sig is None:     # compact: summaries only needed transiently
+            sig = _make_summaries_jit(self.data.mixture_prec,
+                                      self.data.log_det,
+                                      self.data.scaled_ld_diags,
+                                      st.error_scaling)
+        vi_mu, vi_delta, hyper, nat_vd, temp_nat = initialize_from_fake_mu(
+            self.data, sig, st.error_scaling, fake_mu)
+        if self._compact:
+            return dataclasses.replace(st, nat_mu=temp_nat,
+                                       hyper_delta=hyper)
         return dataclasses.replace(st, vi_mu=vi_mu, vi_delta=vi_delta,
                                    hyper_delta=hyper,
                                    nat_grad_vi_delta=nat_vd)
@@ -964,22 +1265,32 @@ class MultiPopVI:
         # of every reduction and rewritten by the first update
         vi_delta = np.full((K, self._padded_loci), 1.0 / K, dtype=dtype)
         vi_delta[:, ix] = vi_delta_in.T
+        hyper = np.asarray(loaded_checkpoint['hyper_delta'], dtype=dtype)
+        if self._compact:
+            # recover the shared natural mean from the stored vi_mu
+            # (exact for any checkpoint this engine or the reference
+            # writes; see compact_nat_mu)
+            nat = jax.jit(compact_nat_mu)(self.data, st.error_scaling,
+                                          jnp.asarray(vi_mu))
+            return dataclasses.replace(st, nat_mu=nat, hyper_delta=hyper)
         return dataclasses.replace(
             st,
             vi_mu=vi_mu,
             vi_delta=vi_delta,
-            hyper_delta=np.asarray(loaded_checkpoint['hyper_delta'],
-                                   dtype=dtype),
+            hyper_delta=hyper,
             nat_grad_vi_delta=nat_vd)
 
     def elbo_value(self, st=None):
         st = st or self.state
         with self._mesh_ctx():
+            st = materialize_state(self.data, st)
             return float(elbo_jit(self.data, st.sigma, st.error_scaling,
                                   st.vi_mu, st.vi_delta, st.hyper_delta))
 
     def create_dump_dict(self, st=None):
         st = st or self.state
+        with self._mesh_ctx():
+            st = materialize_state(self.data, st)
         ix = self._out_index
         return {
             'vi_mu': _fetch(st.vi_mu)[:, :, ix],
@@ -991,15 +1302,19 @@ class MultiPopVI:
 
     def real_posterior_mean(self, st=None):
         st = st or self.state
-        return _fetch(_scaled_posterior_mean(
-            st.vi_mu, st.vi_delta,
-            self.data.scalings))[:, self._out_index]
+        with self._mesh_ctx():
+            st = materialize_state(self.data, st)
+            return _fetch(_scaled_posterior_mean(
+                st.vi_mu, st.vi_delta,
+                self.data.scalings))[:, self._out_index]
 
     def real_posterior_variance(self, st=None):
         st = st or self.state
-        return _fetch(_scaled_posterior_variance(
-            st.vi_mu, st.vi_delta, st.sigma,
-            self.data.scalings))[:, self._out_index]
+        with self._mesh_ctx():
+            st = materialize_state(self.data, st)
+            return _fetch(_scaled_posterior_variance(
+                st.vi_mu, st.vi_delta, st.sigma,
+                self.data.scalings))[:, self._out_index]
 
     def optimize(self, loaded_checkpoint=None):
         """Coordinate ascent until convergence
@@ -1015,15 +1330,24 @@ class MultiPopVI:
         if self.mesh is not None:
             from vilma_tpu.parallel import mesh as mesh_mod
             st = mesh_mod.shard_state(st, self.mesh)
-        st = dataclasses.replace(
-            st, elbo=elbo_jit(self.data, st.sigma, st.error_scaling,
-                              st.vi_mu, st.vi_delta, st.hyper_delta))
+        if st.nat_mu is not None:
+            def _pm(s):
+                return _scaled_posterior_mean_compact(
+                    self.data, s.error_scaling, s.nat_mu, s.hyper_delta)
+            e0 = elbo_compact_jit(self.data, st.error_scaling, st.nat_mu,
+                                  st.hyper_delta)
+        else:
+            def _pm(s):
+                return _scaled_posterior_mean(s.vi_mu, s.vi_delta,
+                                              self.data.scalings)
+            e0 = elbo_jit(self.data, st.sigma, st.error_scaling,
+                          st.vi_mu, st.vi_delta, st.hyper_delta)
+        st = dataclasses.replace(st, elbo=e0)
         converged = False
         num_its = 0
         # the posterior-mean history stays on device; only the reduced
         # convergence/telemetry scalars cross to the host each iteration
-        post_mean = _scaled_posterior_mean(st.vi_mu, st.vi_delta,
-                                           self.data.scalings)
+        post_mean = _pm(st)
         ckp_post_mean = post_mean
         prev_err = 0
         while num_its < self.num_its and not converged:
@@ -1032,8 +1356,7 @@ class MultiPopVI:
                 dump = self.create_dump_dict(st)
                 if jax.process_index() == 0:
                     np.savez(fname, **dump)
-                ckp_post_mean = _scaled_posterior_mean(
-                    st.vi_mu, st.vi_delta, self.data.scalings)
+                ckp_post_mean = _pm(st)
             st, new_post_mean = outer_step_donated(self.data, st,
                                                    line_search_rate=2.0)
             stats = _fetch(_conv_stats(new_post_mean, post_mean,
@@ -1066,8 +1389,12 @@ class MultiPopVI:
         if num_its == self.num_its:
             logging.warning('Failed to converge')
         logging.info('Optimization ran for %d iterations', num_its)
-        self.state = st
-        return st
+        # expose a materialized state (vi_mu/vi_delta/sigma filled) so
+        # downstream consumers and tests see the full parameter set; the
+        # compact nat_mu is kept alongside, so re-stepping this state
+        # stays on the compact path
+        self.state = materialize_state(self.data, st)
+        return self.state
 
     def _dump_info(self, num_its, stats):
         """Per-iteration telemetry (reference _dump_info,

@@ -53,6 +53,7 @@ def fit_elbo_gradient(data, state, num_steps=500, learning_rate=1e-2):
     Returns (final VIState-compatible params tuple, elbo trace).
     """
     import optax  # optional dependency (extras_require['validation'])
+    state = engine.materialize_state(data, state)  # compact states
     sigma = state.sigma
     error_scaling = state.error_scaling
     eps = jnp.finfo(state.vi_delta.dtype).tiny

@@ -180,6 +180,76 @@ def make_summaries(mixture_prec, log_det_prior, diag_term):
                           matches=matches)
 
 
+@dataclass(frozen=True)
+class CompactExprs:
+    """Per-component closed forms of the compact [P, I] natural-mean
+    state (engine.VIState docstring) — returned as lazily-traced
+    expressions so XLA fuses the K axis into the consuming reductions.
+
+    mu[k] = vi_sigma[k] @ nat_mu; quad[k] = mu[k].nat_mu;
+    quadform[k] = mu[k]' mixture_prec[k] mu[k]; the rest are the
+    SigmaSummaries fields."""
+    mu: jnp.ndarray               # [K, P, I]
+    diag: jnp.ndarray             # [K, P, I]
+    log_det_sigma: jnp.ndarray    # [K, I]
+    matches: jnp.ndarray          # [K, I]
+    quad: jnp.ndarray             # [K, I]
+    quadform: jnp.ndarray         # [K, I]
+
+
+def compact_exprs(mixture_prec, diag_term, nat_mu):
+    """Build CompactExprs from the closed-form P<=3 algebra."""
+    P = mixture_prec.shape[1]
+    if not _use_closed_form(P):
+        raise NotImplementedError('compact expressions need the closed-'
+                                  'form sigma algebra (P <= 3)')
+    parts = _precision_parts(mixture_prec, diag_term)
+    if P == 1:
+        (a,) = parts
+        n0 = nat_mu[0][None, :]                             # [1, I]
+        mu0 = n0 / a                                        # [K, I]
+        p00 = mixture_prec[:, 0, 0][:, None]
+        return CompactExprs(
+            mu=mu0[:, None, :], diag=(1.0 / a)[:, None, :],
+            log_det_sigma=-jnp.log(a), matches=p00 / a,
+            quad=n0 * mu0, quadform=p00 * mu0 * mu0)
+    if P == 2:
+        a, b, d = parts
+        det = a * d - b * b
+        n0, n1 = nat_mu[0][None, :], nat_mu[1][None, :]
+        y0 = (d * n0 - b * n1) / det
+        y1 = (a * n1 - b * n0) / det
+        p00 = mixture_prec[:, 0, 0][:, None]
+        p01 = mixture_prec[:, 0, 1][:, None]
+        p11 = mixture_prec[:, 1, 1][:, None]
+        return CompactExprs(
+            mu=jnp.stack([y0, y1], axis=1),
+            diag=jnp.stack([d / det, a / det], axis=1),
+            log_det_sigma=-jnp.log(det),
+            matches=(p00 * d - 2 * p01 * b + p11 * a) / det,
+            quad=y0 * n0 + y1 * n1,
+            quadform=p00 * y0 * y0 + 2 * p01 * y0 * y1 + p11 * y1 * y1)
+    A, B, C, D, E, F, det = _adjugate3(parts)
+    n0, n1, n2 = (nat_mu[0][None, :], nat_mu[1][None, :],
+                  nat_mu[2][None, :])
+    y0 = (A * n0 + B * n1 + C * n2) / det
+    y1 = (B * n0 + D * n1 + E * n2) / det
+    y2 = (C * n0 + E * n1 + F * n2) / det
+    pr = mixture_prec[:, :, :, None]
+    matches = (pr[:, 0, 0] * A + pr[:, 1, 1] * D + pr[:, 2, 2] * F
+               + 2 * (pr[:, 0, 1] * B + pr[:, 0, 2] * C
+                      + pr[:, 1, 2] * E)) / det
+    quadform = (pr[:, 0, 0] * y0 * y0 + pr[:, 1, 1] * y1 * y1
+                + pr[:, 2, 2] * y2 * y2
+                + 2 * (pr[:, 0, 1] * y0 * y1 + pr[:, 0, 2] * y0 * y2
+                       + pr[:, 1, 2] * y1 * y2))
+    return CompactExprs(
+        mu=jnp.stack([y0, y1, y2], axis=1),
+        diag=jnp.stack([A, D, F], axis=1) / det[:, None, :],
+        log_det_sigma=-jnp.log(det), matches=matches,
+        quad=y0 * n0 + y1 * n1 + y2 * n2, quadform=quadform)
+
+
 def sigma_weighted_sum(mixture_prec, diag_term, vi_delta):
     """sum_k vi_delta[k,i] * vi_sigma[k,:,:,i] -> [I,P,P].
 

@@ -75,6 +75,7 @@ def _specs(comp):
         ('ModelData', 'log_det'): P(comp),
         # VIState
         ('VIState', 'vi_mu'): P(comp, None, 'snp'),
+        ('VIState', 'nat_mu'): P(None, 'snp'),
         ('VIState', 'vi_delta'): P(comp, 'snp'),
         ('VIState', 'hyper_delta'): P(None, comp),
         ('VIState', 'error_scaling'): P(),

@@ -61,8 +61,11 @@ def synthetic_problem(num_loci=1024, num_pops=2, num_components=8,
     return data
 
 
-def synthetic_state(data, seed=0):
-    """A fresh VIState for `data` (random but well-formed init)."""
+def synthetic_state(data, seed=0, compact=False):
+    """A fresh VIState for `data` (random but well-formed init).
+
+    compact=True builds the [P, I] natural-mean representation (the
+    production fast path for non-scale_se fits; see engine.VIState)."""
     import dataclasses
     import jax.numpy as jnp
     from vilma_tpu.models import sigma as sigma_mod
@@ -73,6 +76,24 @@ def synthetic_state(data, seed=0):
     A = data.num_annotations
     rng = np.random.default_rng(seed)
     error_scaling = jnp.ones(P, dtype=dtype)
+    if compact:
+        assert not data.scale_se
+        hyper = rng.uniform(0.1, 1.0, (A, K))
+        hyper /= hyper.sum(axis=1, keepdims=True)
+        st = engine.VIState(
+            vi_mu=None, vi_delta=None, nat_grad_vi_delta=None, sigma=None,
+            nat_mu=jnp.asarray(rng.standard_normal((P, I)) * 1e-2,
+                               dtype=dtype),
+            hyper_delta=jnp.asarray(hyper, dtype=dtype),
+            error_scaling=error_scaling,
+            L=jnp.ones(3, dtype=dtype),
+            elbo=jnp.asarray(0., dtype=dtype),
+            running_elbo_delta=jnp.asarray(np.nan, dtype=dtype),
+            num_err=jnp.asarray(0, dtype=jnp.int32),
+        )
+        e0 = engine.elbo_compact_jit(data, st.error_scaling, st.nat_mu,
+                                     st.hyper_delta)
+        return dataclasses.replace(st, elbo=e0)
     sig = sigma_mod.make_summaries(
         data.mixture_prec, data.log_det,
         data.scaled_ld_diags / error_scaling[:, None])
