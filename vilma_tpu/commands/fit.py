@@ -133,11 +133,14 @@ def args(super_parser):
                              '(view with TensorBoard/XProf).')
     parser.add_argument('--pallas', type=str, default='auto',
                         choices=['auto', 'on', 'off'],
-                        help='Use the fused Pallas TPU block-matvec '
-                             'kernel for LD buckets it supports. auto '
-                             'enables it for --precision f32 on an '
-                             'accelerator (measured 2-3x over the XLA '
-                             'two-pass on bf16 LD; see PARITY.md).')
+                        help='Use the fused Mosaic TPU kernels: the '
+                             'single-pass grouped block matvec and the '
+                             'compact-objective prologue (softmax + '
+                             'posterior moments + KL in one SNP pass). '
+                             'auto enables them for --precision f32 on '
+                             'an accelerator (measured 2.3x per '
+                             'objective evaluation at 1M SNPs; see '
+                             'PARITY.md).')
     parser.add_argument('--align-layout', dest='align_layout',
                         action='store_true',
                         help='Relayout the problem so LD blocks occupy '

@@ -497,6 +497,47 @@ def _derive_params(data, error_scaling, nat_mu, hyper_delta):
     return sigma, vi_mu, vi_delta
 
 
+def _prologue_supported(data, nat_mu):
+    from vilma_tpu.ops.pallas import compact_obj
+    P, K = nat_mu.shape[0], data.mixture_prec.shape[0]
+    return compact_obj.supported(P, K, jnp.dtype(nat_mu.dtype))
+
+
+def _prologue_fused(data, error_scaling, nat_mu, hyper_delta, interpret):
+    """(post_means, post_vars, beta_kl) via the fused Mosaic prologue
+    (ops/pallas/compact_obj.py). Under a shard-local mesh layout the
+    kernel runs per-device inside one shard_map over the 'snp' axis —
+    the [P, I] operands are already span-sharded, so the only collective
+    is the psum of the beta-KL scalar."""
+    from jax.sharding import PartitionSpec as PS
+    from vilma_tpu.ops.pallas import compact_obj
+    dterm = _diag_term(data, error_scaling)
+    coeffs = compact_obj.build_coeffs(data.mixture_prec, data.log_det)
+    scores_t = (jnp.log(hyper_delta)
+                - 0.5 * data.log_det).T.astype(nat_mu.dtype)
+    A = data.num_annotations
+    if data.ld and getattr(data.ld[0], 'shard_count', 1) > 1:
+        def local(co, sc, ann, dt, nm):
+            pm, pv, kl = compact_obj.prologue(
+                co, sc, ann, dt, nm, num_annotations=A,
+                interpret=interpret)
+            return pm, pv, jax.lax.psum(kl, 'snp')
+
+        # check_vma=False: pallas_call cannot declare output vma (see
+        # blocks._dot_sharded); the one cross-device value (the KL
+        # scalar) is psum'd explicitly above
+        return jax.shard_map(
+            local,
+            in_specs=(PS(), PS(), PS('snp'), PS(None, 'snp'),
+                      PS(None, 'snp')),
+            out_specs=(PS(None, 'snp'), PS(None, 'snp'), PS()),
+            check_vma=False,
+        )(coeffs, scores_t, data.annotations, dterm, nat_mu)
+    return compact_obj.prologue(coeffs, scores_t, data.annotations,
+                                dterm, nat_mu, num_annotations=A,
+                                interpret=interpret)
+
+
 def _objective_compact(data, st, nat_mu, hyper_delta):
     """(objective, post_means, linked) of a compact parameter point.
 
@@ -510,6 +551,17 @@ def _objective_compact(data, st, nat_mu, hyper_delta):
     materialized path (reference variational_inference.py:452-490,
     632-641, 868-885), identical up to float reassociation.
     """
+    use_pk, interp = blocks_mod.pallas_flags()
+    if use_pk and (interp or _prologue_supported(data, nat_mu)):
+        post_means, post_vars, beta_kl = _prologue_fused(
+            data, st.error_scaling, nat_mu, hyper_delta, interp)
+        scaled_mu, linked_ests = _ld_scaled_dot(data, post_means)
+        ll = kernels.fast_likelihood(
+            post_means, post_vars, scaled_mu, data.scaled_ld_diags,
+            linked_ests, data.adj_marginal_effects, data.chi_stat,
+            data.ld_ranks, st.error_scaling)
+        return ll - beta_kl, post_means, linked_ests
+
     eps = epsilon(nat_mu.dtype)
     dterm = _diag_term(data, st.error_scaling)
     ex = sigma_mod.compact_exprs(data.mixture_prec, dterm, nat_mu)

@@ -463,6 +463,13 @@ def enable_pallas(on=True, interpret=False):
     _PALLAS_INTERPRET = bool(interpret)
 
 
+def pallas_flags():
+    """(enabled, interpret) — one switch governs every fused Mosaic
+    kernel (the block matvec here and the engine's compact-objective
+    prologue, ops/pallas/compact_obj.py)."""
+    return _USE_PALLAS, _PALLAS_INTERPRET
+
+
 def _bucket_dot(bk, xb):
     if _USE_PALLAS:
         from vilma_tpu.ops.pallas import block_matvec as pk
@@ -615,8 +622,13 @@ def _dot_sharded(ld, vector):
     def local(v, buckets):
         return _dot_rows(buckets, n_local, v)
 
+    # check_vma=False: pallas_call cannot declare output varying-mesh-axes
+    # (ShapeDtypeStruct.vma), which the default vma check requires — the
+    # body is per-device local math with no collectives, so nothing is
+    # lost (verified collective-free in test_shard_local_dot_has_no_collectives)
     return jax.shard_map(local, in_specs=(P('snp'), _bucket_specs(ld)),
-                         out_specs=P('snp'))(vector, ld.buckets)
+                         out_specs=P('snp'),
+                         check_vma=False)(vector, ld.buckets)
 
 
 def _dot_multi_sharded(ld, vectors):
@@ -629,7 +641,8 @@ def _dot_multi_sharded(ld, vectors):
 
     return jax.shard_map(local,
                          in_specs=(P(None, 'snp'), _bucket_specs(ld)),
-                         out_specs=P(None, 'snp'))(vectors, ld.buckets)
+                         out_specs=P(None, 'snp'),
+                         check_vma=False)(vectors, ld.buckets)
 
 
 def dot(ld, vector):

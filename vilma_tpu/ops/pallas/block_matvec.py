@@ -16,28 +16,49 @@ contractions run on the MXU with f32 accumulation, and the intermediate
 t = s * (U^T x) is re-cast to bf16 before the second contraction to
 match the XLA path's numerics (blocks._bucket_dot).
 
-Grid: one program per block. EVERY operand is tiled per block (the old
-kernel held s/d/x/y fully in VMEM — tens of MB at 6M SNPs); the Pallas
-pipeline double-buffers the U tile so the next block's DMA overlaps the
-current block's compute.
+Grid: one program per GROUP of blocks. Grouping several blocks into one
+~4 MB U tile matters at genome scale: with one 1024x512 bf16 block
+(1 MB) per grid step the 1M-SNP bucket runs ~1000 steps whose per-step
+overhead (~2 us of DMA issue + semaphore latency) dominated the ~1.3 us
+the HBM stream itself needs — measured 3.08 ms for a 1.02 GB U pass
+(~330 GB/s). Grouped tiles amortize that overhead; the Pallas pipeline
+still double-buffers so the next group's DMA overlaps this group's
+compute. Ragged tails (num_blocks % group != 0) rely on Pallas'
+out-of-range masking: reads of the pad region are unused garbage, pad
+writes are dropped.
 """
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# target bytes of U per grid step (two pipeline buffers of this plus the
+# s/d/x/y tiles and Mosaic's stack must fit the 16 MB VMEM; an 8 MB tile
+# was measured to need 16.12 MB total and fail scoped-vmem allocation on
+# v5e — caught by ops/pallas/selftest.py)
+_TILE_BYTES = 4 * 1024 * 1024
+_TILE_CAP = 7 * 1024 * 1024
+
+
+def _group(pmax, rmax, dtype):
+    """Blocks per grid step for this bucket shape."""
+    itemsize = 2 if dtype == jnp.bfloat16 else 4
+    return max(1, _TILE_BYTES // (pmax * rmax * itemsize))
+
 
 def _kernel(s_ref, d_ref, x_ref, u_ref, y_ref):
-    u = u_ref[0]                                  # [P, R] (f32 or bf16)
-    x = x_ref[0]                                  # [C, P] f32
-    t = jnp.dot(x.astype(u.dtype), u,
-                preferred_element_type=jnp.float32)         # [C, R]
-    t = t * s_ref[0]                              # s tile is [1, R]
+    u = u_ref[...]                                # [G, P, R] (f32 or bf16)
+    x = x_ref[...]                                # [G, C, P] f32
+    t = jax.lax.dot_general(
+        x.astype(u.dtype), u,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)               # [G, C, R]
+    t = t * s_ref[...]                            # s tile is [G, 1, R]
     y = jax.lax.dot_general(
         t.astype(u.dtype), u,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                 # [C, P]
-    y_ref[0] = (y + d_ref[0] * x).astype(y_ref.dtype)       # d tile [1, P]
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)               # [G, C, P]
+    y_ref[...] = (y + d_ref[...] * x).astype(y_ref.dtype)  # d tile [G, 1, P]
 
 
 def shape_supported(pmax, rmax, dtype):
@@ -45,11 +66,8 @@ def shape_supported(pmax, rmax, dtype):
     if dtype not in (jnp.float32, jnp.bfloat16):
         return False
     itemsize = 2 if dtype == jnp.bfloat16 else 4
-    # two pipeline buffers of the U tile plus the s/d/x/y tiles and
-    # Mosaic's stack must fit the 16 MB VMEM: an 8 MB U tile was measured
-    # to need 16.12 MB total and fail scoped-vmem allocation on v5e
-    # (caught by ops/pallas/selftest.py), so cap the tile at 7 MB
-    if pmax * rmax * itemsize > 7 * 1024 * 1024:
+    g = _group(pmax, rmax, dtype)
+    if g * pmax * rmax * itemsize > _TILE_CAP:
         return False
     return pmax % 128 == 0 and rmax % 128 == 0
 
@@ -76,23 +94,24 @@ def bucket_matvec_multi(u, s, d, x, interpret=False):
     """
     B, P, R = u.shape
     C = x.shape[1]
+    G = min(_group(P, R, u.dtype), B)
     # Mosaic requires each block's last two dims to be (8,128)-divisible
     # or equal to the array dims; carry s/d with a singleton middle axis
-    # so their [1, 1, *] tiles are legal.
+    # so their [G, 1, *] tiles are legal.
     return pl.pallas_call(
         _kernel,
-        grid=(B,),
+        grid=(pl.cdiv(B, G),),
         in_specs=[
-            pl.BlockSpec((1, 1, R), lambda b: (b, 0, 0),
+            pl.BlockSpec((G, 1, R), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),      # s
-            pl.BlockSpec((1, 1, P), lambda b: (b, 0, 0),
+            pl.BlockSpec((G, 1, P), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),      # d
-            pl.BlockSpec((1, C, P), lambda b: (b, 0, 0),
+            pl.BlockSpec((G, C, P), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),      # x
-            pl.BlockSpec((1, P, R), lambda b: (b, 0, 0),
+            pl.BlockSpec((G, P, R), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),      # u (streamed)
         ],
-        out_specs=pl.BlockSpec((1, C, P), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((G, C, P), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, C, P), x.dtype),
         cost_estimate=pl.CostEstimate(

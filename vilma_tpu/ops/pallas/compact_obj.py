@@ -1,0 +1,253 @@
+"""Pallas TPU kernel: fused compact-objective prologue.
+
+One beta-objective evaluation of the compact [P, I] natural-mean state
+(engine._objective_compact) splits into a prologue — derive the per-SNP
+categorical vi_delta and the posterior moments from nat_mu — and a tail
+(the LD matvec + the likelihood reduction). The prologue's math is
+K mixture components of closed-form P<=3 algebra per SNP
+(models/sigma.compact_exprs + kernels.fast_invert_nat_vi_delta +
+the three beta-KL reductions; reference variational_inference.py:452-490,
+632-641, 868-885 and numerics.py:132-146,198-213).
+
+Staged as XLA ops the prologue streams ~2.3 GB of [K, I]-shaped
+intermediates from HBM per evaluation at 1M SNPs (profiled r3: XLA
+materializes vi_delta, the [K, P, I] component means, and the softmax
+workspace between fusions) — larger than the LD matvec it feeds. This
+kernel computes the whole prologue in ONE pass over the SNP axis: per
+[*, T] tile every [K, T] quantity lives only in VMEM/registers, so HBM
+traffic drops to the [P, I] inputs and outputs (~50 MB at 1M SNPs).
+
+Outputs per tile: post_means [P, T], post_vars [P, T], and the summed
+beta-KL scalar (delta KL + precision quadratic form + covariance terms),
+accumulated across the sequential TPU grid.
+
+Masking follows the XLA staging exactly: SNPs whose annotation id ==
+num_annotations (mesh padding slots, parallel/padding.py) contribute
+zero to the KL scalar; their moments are computed but inert downstream
+(nat_mu is zero there, and fast_likelihood's diag weights are zero).
+"""
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vilma_tpu.utils.config import epsilon
+
+
+def _pick_tile(K):
+    """SNP-tile width: ~14 [K, T] f32 temporaries must fit a ~6 MB VMEM
+    budget alongside the in/out tiles and Mosaic's workspace."""
+    budget = 6 * 1024 * 1024
+    t = budget // (14 * 4 * max(K, 1))
+    t = min(4096, (t // 128) * 128)
+    return t if t >= 128 else None
+
+
+def shape_supported(P, K, dtype):
+    return dtype == jnp.dtype(jnp.float32) and P in (1, 2, 3) \
+        and _pick_tile(K) is not None
+
+
+def supported(P, K, dtype):
+    """Whether the fused prologue applies here and now (mirrors
+    block_matvec.supported: Mosaic is TPU-only and rejects x64)."""
+    if jax.default_backend() != 'tpu':
+        return False
+    if jax.config.jax_enable_x64:
+        return False
+    return shape_supported(P, K, dtype)
+
+
+def _kernel(coeffs_ref, scores_ref, ann_ref, dterm_ref, nat_ref,
+            pm_ref, pv_ref, kl_ref, *, P, A, eps):
+    ann = ann_ref[...]                                     # [1, T] int32
+    K = coeffs_ref.shape[0]
+    T = ann.shape[1]
+
+    # SEL[k, t] = scores[ann_t, k] (the annotation-selected mixture
+    # weights; scores_ref holds scores.T = [K, A]). Tiny A: masked
+    # column broadcasts; larger A: one [K,A]x[A,T] MXU matmul against
+    # the one-hot annotation matrix.
+    if A == 1:
+        sel = jnp.broadcast_to(scores_ref[:, 0:1], (K, T))
+    elif A <= 8:
+        sel = jnp.broadcast_to(scores_ref[:, A - 1:A], (K, T))
+        for a in range(A - 1):
+            sel = jnp.where(ann == a, scores_ref[:, a:a + 1], sel)
+    else:
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (A, T), 0)
+                  == ann).astype(scores_ref.dtype)
+        sel = jnp.dot(scores_ref[...], onehot,
+                      preferred_element_type=scores_ref.dtype)
+
+    # closed-form per-(k, i) sigma algebra (models/sigma.compact_exprs),
+    # vectorized over K: coefficient columns broadcast [K,1] x [1,T]
+    c = [coeffs_ref[:, j:j + 1] for j in range(coeffs_ref.shape[1])]
+    n = [nat_ref[p:p + 1, :] for p in range(P)]
+    dt = [dterm_ref[p:p + 1, :] for p in range(P)]
+    if P == 1:
+        a = c[0] + dt[0]
+        ldp = c[1]
+        inv = 1.0 / a
+        y = [n[0] * inv]
+        diag = [inv]
+        logdet = jnp.log(a)
+        quad = y[0] * n[0]
+        quadform = c[0] * y[0] * y[0]
+        matches = c[0] * inv
+    elif P == 2:
+        a = c[0] + dt[0]
+        b = c[1]
+        d = c[2] + dt[1]
+        ldp = c[3]
+        det = a * d - b * b
+        inv = 1.0 / det
+        y = [(d * n[0] - b * n[1]) * inv, (a * n[1] - b * n[0]) * inv]
+        diag = [d * inv, a * inv]
+        logdet = jnp.log(det)
+        quad = y[0] * n[0] + y[1] * n[1]
+        quadform = (c[0] * y[0] * y[0] + 2 * c[1] * y[0] * y[1]
+                    + c[2] * y[1] * y[1])
+        matches = (c[0] * d - 2 * c[1] * b + c[2] * a) * inv
+    else:
+        pa = c[0] + dt[0]
+        pb, pc = c[1], c[2]
+        pd = c[3] + dt[1]
+        pe = c[4]
+        pf = c[5] + dt[2]
+        ldp = c[6]
+        # symmetric-3x3 adjugate (models/sigma._adjugate3)
+        A3 = pd * pf - pe * pe
+        B3 = pc * pe - pb * pf
+        C3 = pb * pe - pc * pd
+        D3 = pa * pf - pc * pc
+        E3 = pb * pc - pa * pe
+        F3 = pa * pd - pb * pb
+        det = pa * A3 + pb * B3 + pc * C3
+        inv = 1.0 / det
+        y = [(A3 * n[0] + B3 * n[1] + C3 * n[2]) * inv,
+             (B3 * n[0] + D3 * n[1] + E3 * n[2]) * inv,
+             (C3 * n[0] + E3 * n[1] + F3 * n[2]) * inv]
+        diag = [A3 * inv, D3 * inv, F3 * inv]
+        logdet = jnp.log(det)
+        quad = y[0] * n[0] + y[1] * n[1] + y[2] * n[2]
+        quadform = (c[0] * y[0] * y[0] + c[3] * y[1] * y[1]
+                    + c[5] * y[2] * y[2]
+                    + 2 * (c[1] * y[0] * y[1] + c[2] * y[0] * y[2]
+                           + c[4] * y[1] * y[2]))
+        matches = (c[0] * A3 + c[3] * D3 + c[5] * F3
+                   + 2 * (c[1] * B3 + c[2] * C3 + c[4] * E3)) * inv
+
+    # stabilized categorical inversion over the FULL logits
+    # z_k = 0.5*(quad_k - logdet_k) + scores[a, k]; identical to the
+    # reference's last-component-zero convention with max floored at 0
+    # (kernels.invert_nat_cat_2D): both equal softmax(z) over all K.
+    z = 0.5 * (quad - logdet) + sel                        # [K, T]
+    m = jnp.max(z, axis=0, keepdims=True)
+    ez = jnp.exp(z - m)
+    den = jnp.sum(ez, axis=0, keepdims=True)
+    vd = jnp.maximum(ez / den, eps)
+    log_vd = jnp.maximum(z - m - jnp.log(den), math.log(eps))
+
+    pm = [jnp.sum(vd * y[p], axis=0, keepdims=True) for p in range(P)]
+    pv = [jnp.sum(vd * (diag[p] + y[p] * y[p]), axis=0, keepdims=True)
+          - pm[p] * pm[p] for p in range(P)]
+    pm_ref[...] = jnp.concatenate(pm, axis=0)
+    pv_ref[...] = jnp.concatenate(pv, axis=0)
+
+    # beta KL: delta KL + 0.5*quadform + 0.5*(logdet_prior - logdet_sigma
+    # + matches), all vi_delta-weighted and masked to real SNPs.
+    # log hyper_delta[a, k] = scores[a, k] + 0.5*logdet_prior[k].
+    log_hd = sel + 0.5 * ldp
+    ss = ldp + logdet + matches
+    per_k = vd * ((log_vd - log_hd) + 0.5 * quadform + 0.5 * ss)
+    mask = (ann < A).astype(per_k.dtype)                   # [1, T]
+    # Mosaic rejects scalar stores to VMEM: keep the accumulator [1, 1]
+    kl_tile = jnp.sum(per_k * mask).reshape(1, 1).astype(kl_ref.dtype)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        kl_ref[...] = jnp.zeros((1, 1), kl_ref.dtype)
+
+    kl_ref[...] += kl_tile
+
+
+def prologue(coeffs, scores_t, annotations, dterm, nat_mu, *,
+             num_annotations, interpret=False):
+    """Fused (post_means, post_vars, beta_kl) of a compact parameter point.
+
+    Args:
+        coeffs: [K, ncol] f32 — per-component prior-precision upper
+            triangle followed by the prior log-determinant (see
+            `build_coeffs`).
+        scores_t: [K, A] f32 — (log hyper_delta - 0.5*log_det).T.
+        annotations: [I] integer annotation ids (== num_annotations on
+            padding slots).
+        dterm: [P, I] f32 — scaled_ld_diags / error_scaling.
+        nat_mu: [P, I] f32 — the compact natural mean.
+    Returns:
+        (post_means [P, I], post_vars [P, I], beta_kl scalar), all f32.
+    """
+    P, I = nat_mu.shape
+    K, A = scores_t.shape
+    assert A == num_annotations
+    T = _pick_tile(K)
+    ipad = -(-I // T) * T
+    if ipad != I:
+        pad = ipad - I
+        annotations = jnp.pad(annotations, (0, pad),
+                              constant_values=num_annotations)
+        dterm = jnp.pad(dterm, ((0, 0), (0, pad)), constant_values=1.0)
+        nat_mu = jnp.pad(nat_mu, ((0, 0), (0, pad)))
+    ann2 = annotations[None, :].astype(jnp.int32)
+    eps = float(epsilon(nat_mu.dtype))
+    kern = functools.partial(_kernel, P=P, A=A, eps=eps)
+    ncol = coeffs.shape[1]
+    pm, pv, kl = pl.pallas_call(
+        kern,
+        grid=(ipad // T,),
+        in_specs=[
+            pl.BlockSpec((K, ncol), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),         # coeffs
+            pl.BlockSpec((K, A), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),         # scores.T
+            pl.BlockSpec((1, T), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),         # annotations
+            pl.BlockSpec((P, T), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),         # dterm
+            pl.BlockSpec((P, T), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),         # nat_mu
+        ],
+        out_specs=[
+            pl.BlockSpec((P, T), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, T), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((P, ipad), nat_mu.dtype),
+            jax.ShapeDtypeStruct((P, ipad), nat_mu.dtype),
+            jax.ShapeDtypeStruct((1, 1), nat_mu.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=60 * K * ipad,
+            bytes_accessed=4 * ipad * (4 * P + 1),
+            transcendentals=3 * K * ipad),
+        interpret=interpret,
+    )(coeffs, scores_t, ann2, dterm, nat_mu)
+    return pm[:, :I], pv[:, :I], kl[0, 0]
+
+
+def build_coeffs(mixture_prec, log_det):
+    """[K, ncol] kernel coefficient table: the upper triangle of each
+    component's prior precision, then the prior log-determinant."""
+    P = mixture_prec.shape[1]
+    cols = [mixture_prec[:, p, q]
+            for p in range(P) for q in range(p, P)]
+    cols.append(log_det)
+    return jnp.stack(cols, axis=1)

@@ -13,6 +13,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from vilma_tpu.ops.pallas import block_matvec as pk
+from vilma_tpu.ops.pallas import compact_obj as co
 
 # every (pmax, rmax) tier blocks.pack can produce for supported dtypes,
 # up to the kernel's VMEM tile cap (shape_supported re-checks it)
@@ -80,6 +81,59 @@ def run_one(pmax, rmax, dtype, B=3, C=2, seed=0):
             float(np.max(np.abs(got - want)) / scale))
 
 
+def prologue_configs():
+    """(P, K, A) tiers of the compact-objective prologue kernel: every
+    cohort count, small and large component counts (the tile picker
+    changes regime), and each annotation-selection branch (broadcast /
+    masked select / one-hot matmul)."""
+    for P in (1, 2, 3):
+        for K in (2, 18, 200):
+            for A in (1, 4, 24):
+                if co.shape_supported(P, K, jnp.dtype(jnp.float32)):
+                    yield P, K, A
+
+
+def run_prologue_one(P, K, A, I=9000, seed=0):
+    """Compile + run the prologue for one tier vs its XLA re-derivation.
+
+    Returns the normalized max error over (post_means, post_vars, kl)."""
+    rng = np.random.default_rng(seed)
+    covs = []
+    for k in range(K):
+        m = rng.standard_normal((P, P))
+        covs.append((m @ m.T + P * np.eye(P))
+                    * np.exp(rng.uniform(-8, -2)))
+    prec = np.linalg.inv(np.asarray(covs))
+    log_det = np.linalg.slogdet(np.asarray(covs))[1]
+    hyper = rng.dirichlet(np.ones(K), size=A)
+    ann = rng.integers(0, A + 1, I)       # includes padding slots
+    dterm = rng.uniform(0.5, 3.0, (P, I))
+    nat = rng.standard_normal((P, I)) * 5
+
+    coeffs = co.build_coeffs(jnp.asarray(prec, jnp.float32),
+                             jnp.asarray(log_det, jnp.float32))
+    scores_t = jnp.asarray(
+        (np.log(hyper) - 0.5 * log_det).T, jnp.float32)
+    args = (coeffs, scores_t, jnp.asarray(ann),
+            jnp.asarray(dterm, jnp.float32),
+            jnp.asarray(nat, jnp.float32))
+    pm, pv, kl = co.prologue(*args, num_annotations=A)
+    pm_i, pv_i, kl_i = co.prologue(*args, num_annotations=A,
+                                   interpret=True)
+    err = 0.0
+    for got, want in ((pm, pm_i), (pv, pv_i)):
+        scale = np.max(np.abs(np.asarray(want))) + 1e-30
+        err = max(err, float(np.max(np.abs(np.asarray(got)
+                                           - np.asarray(want))) / scale))
+    err = max(err, abs(float(kl) - float(kl_i))
+              / (abs(float(kl_i)) + 1e-30))
+    return err
+
+
+_TOL_PROLOGUE = 1e-4   # f32 kernel vs f32 interpret: transcendental and
+#                        reduction reassociation noise on ~1e5-scale sums
+
+
 def run_selftest(verbose=print):
     """Compile/check every supported tier on the attached TPU.
 
@@ -92,6 +146,21 @@ def run_selftest(verbose=print):
                            '(interpret mode cannot catch Mosaic '
                            'compile rejections)')
     results, failures = [], []
+    for P, K, A in prologue_configs():
+        try:
+            err = run_prologue_one(P, K, A)
+        except Exception as exc:          # Mosaic compile rejection
+            failures.append(f'prologue P={P} K={K} A={A}: '
+                            f'{type(exc).__name__}: {exc}')
+            continue
+        results.append((P, K, f'prologue_A{A}', err))
+        ok = err <= _TOL_PROLOGUE
+        if verbose:
+            verbose(f'selftest prologue  P={P} K={K:4d} A={A:3d} '
+                    f'err={err:.3e} {"ok" if ok else "FAIL"}')
+        if not ok:
+            failures.append(f'prologue P={P} K={K} A={A}: err {err:.3e} '
+                            f'(tol {_TOL_PROLOGUE:.0e})')
     for pmax, rmax, dtype in configs():
         name = jnp.dtype(dtype).name
         try:
