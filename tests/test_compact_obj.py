@@ -59,6 +59,24 @@ def test_prologue_matches_staging(num_pops, num_annotations):
                        atol=1e-5 * lscale)
 
 
+@pytest.mark.parametrize('num_pops', [1, 2, 3])
+def test_delta_sums_matches_sum_annotations(num_pops):
+    """The fused annotation-sum kernel equals sum_annotations over the
+    XLA-derived vi_delta (the compact hyper-delta update's input)."""
+    from vilma_tpu.ops import kernels
+    data = synthetic.synthetic_problem(num_loci=300, num_pops=num_pops,
+                                       num_components=5, block_size=32,
+                                       num_annotations=3)
+    st = synthetic.synthetic_state(data, seed=2, compact=True)
+    _, _, vi_delta = engine._derive_params(data, st.error_scaling,
+                                           st.nat_mu, st.hyper_delta)
+    want = np.asarray(kernels.sum_annotations(vi_delta, data.annotations,
+                                              data.num_annotations))
+    got = np.asarray(engine._delta_sums_fused(
+        data, st.error_scaling, st.nat_mu, st.hyper_delta, True))
+    assert np.allclose(got, want, rtol=1e-9, atol=1e-9 * want.max())
+
+
 def test_prologue_skips_materialized_states():
     """scale_se fits use the materialized path; enabling the kernel
     must not perturb them (the dispatch lives in the compact objective

@@ -29,10 +29,15 @@ prints the statistical drift report recorded in PARITY.md:
 import argparse
 import functools
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# bench.py lives at the repo root (one level up from tools/)
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 print = functools.partial(print, flush=True)  # noqa: A001
 

@@ -681,14 +681,48 @@ def _beta_loop_compact(data, st, conv_tol, line_search_rate):
     return st, delta, obj, pm, lk
 
 
+def _delta_sums_fused(data, error_scaling, nat_mu, hyper_delta,
+                      interpret):
+    """sum_annotations of the derived vi_delta via the fused Mosaic
+    kernel (no [K, *, I] materialization; see compact_obj.delta_sums)."""
+    from jax.sharding import PartitionSpec as PS
+    from vilma_tpu.ops.pallas import compact_obj
+    dterm = _diag_term(data, error_scaling)
+    coeffs = compact_obj.build_coeffs(data.mixture_prec, data.log_det)
+    scores_t = (jnp.log(hyper_delta)
+                - 0.5 * data.log_det).T.astype(nat_mu.dtype)
+    A = data.num_annotations
+    if data.ld and getattr(data.ld[0], 'shard_count', 1) > 1:
+        def local(co, sc, ann, dt, nm):
+            s = compact_obj.delta_sums(co, sc, ann, dt, nm,
+                                       num_annotations=A,
+                                       interpret=interpret)
+            return jax.lax.psum(s, 'snp')
+
+        return jax.shard_map(
+            local,
+            in_specs=(PS(), PS(), PS('snp'), PS(None, 'snp'),
+                      PS(None, 'snp')),
+            out_specs=PS(), check_vma=False,
+        )(coeffs, scores_t, data.annotations, dterm, nat_mu)
+    return compact_obj.delta_sums(coeffs, scores_t, data.annotations,
+                                  dterm, nat_mu, num_annotations=A,
+                                  interpret=interpret)
+
+
 def _update_hyper_delta_compact(data, st, orig_obj):
     """Compact twin of `_update_hyper_delta`: vi_delta is derived, the
     new nat_grad_vi_delta is implied by the new hyper_delta."""
     eps = epsilon(st.nat_mu.dtype)
-    _, _, vi_delta = _derive_params(data, st.error_scaling, st.nat_mu,
-                                    st.hyper_delta)
-    new_hd = kernels.sum_annotations(vi_delta, data.annotations,
-                                     data.num_annotations)
+    use_pk, interp = blocks_mod.pallas_flags()
+    if use_pk and (interp or _prologue_supported(data, st.nat_mu)):
+        new_hd = _delta_sums_fused(data, st.error_scaling, st.nat_mu,
+                                   st.hyper_delta, interp)
+    else:
+        _, _, vi_delta = _derive_params(data, st.error_scaling,
+                                        st.nat_mu, st.hyper_delta)
+        new_hd = kernels.sum_annotations(vi_delta, data.annotations,
+                                         data.num_annotations)
     new_hd = jnp.maximum(
         new_hd / (data.annotation_counts[:, None] + eps), eps)
     new_hd = new_hd / new_hd.sum(axis=1, keepdims=True)

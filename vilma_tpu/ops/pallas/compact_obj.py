@@ -61,9 +61,11 @@ def supported(P, K, dtype):
     return shape_supported(P, K, dtype)
 
 
-def _kernel(coeffs_ref, scores_ref, ann_ref, dterm_ref, nat_ref,
-            pm_ref, pv_ref, kl_ref, *, P, A, eps):
-    ann = ann_ref[...]                                     # [1, T] int32
+def _derive_tile(coeffs_ref, scores_ref, ann, nat_ref, dterm_ref,
+                 *, P, A, eps):
+    """Shared per-tile derivation: closed-form component algebra +
+    stabilized categorical vi_delta (every array [K, T] or [1, T],
+    VMEM-resident)."""
     K = coeffs_ref.shape[0]
     T = ann.shape[1]
 
@@ -151,6 +153,18 @@ def _kernel(coeffs_ref, scores_ref, ann_ref, dterm_ref, nat_ref,
     den = jnp.sum(ez, axis=0, keepdims=True)
     vd = jnp.maximum(ez / den, eps)
     log_vd = jnp.maximum(z - m - jnp.log(den), math.log(eps))
+    return dict(sel=sel, y=y, diag=diag, logdet=logdet, ldp=ldp,
+                quadform=quadform, matches=matches, vd=vd, log_vd=log_vd)
+
+
+def _kernel(coeffs_ref, scores_ref, ann_ref, dterm_ref, nat_ref,
+            pm_ref, pv_ref, kl_ref, *, P, A, eps):
+    ann = ann_ref[...]                                     # [1, T] int32
+    d = _derive_tile(coeffs_ref, scores_ref, ann, nat_ref, dterm_ref,
+                     P=P, A=A, eps=eps)
+    vd, y, diag = d['vd'], d['y'], d['diag']
+    sel, ldp, logdet = d['sel'], d['ldp'], d['logdet']
+    quadform, matches, log_vd = d['quadform'], d['matches'], d['log_vd']
 
     pm = [jnp.sum(vd * y[p], axis=0, keepdims=True) for p in range(P)]
     pv = [jnp.sum(vd * (diag[p] + y[p] * y[p]), axis=0, keepdims=True)
@@ -241,6 +255,82 @@ def prologue(coeffs, scores_t, annotations, dterm, nat_mu, *,
         interpret=interpret,
     )(coeffs, scores_t, ann2, dterm, nat_mu)
     return pm[:, :I], pv[:, :I], kl[0, 0]
+
+
+def _sums_kernel(coeffs_ref, scores_ref, ann_ref, dterm_ref, nat_ref,
+                 sums_ref, *, P, A, eps):
+    ann = ann_ref[...]                                     # [1, T] int32
+    d = _derive_tile(coeffs_ref, scores_ref, ann, nat_ref, dterm_ref,
+                     P=P, A=A, eps=eps)
+    vd = d['vd']                                           # [K, T]
+    T = ann.shape[1]
+    # S[k, a] = sum_{t: ann_t == a} vd[k, t] — one MXU contraction per
+    # tile against the one-hot annotation matrix; padding slots
+    # (ann == A) select no column and drop out, matching the XLA
+    # kernels.sum_annotations semantics.
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (A, T), 0)
+              == ann).astype(vd.dtype)
+    s_tile = jax.lax.dot_general(
+        vd, onehot, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=sums_ref.dtype)             # [K, A]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        sums_ref[...] = jnp.zeros_like(sums_ref)
+
+    sums_ref[...] += s_tile
+
+
+def delta_sums(coeffs, scores_t, annotations, dterm, nat_mu, *,
+               num_annotations, interpret=False):
+    """Per-annotation sums of the derived vi_delta: [A, K].
+
+    The compact hyper-delta update (engine._update_hyper_delta_compact,
+    reference variational_inference.py:825-860) needs only
+    sum_annotations(vi_delta) — this computes it straight from the
+    compact natural mean without materializing vi_delta (the XLA
+    _derive_params route streams ~2 GB of [K, *, I] intermediates at
+    1M SNPs for what is one [A, K] table)."""
+    P, I = nat_mu.shape
+    K, A = scores_t.shape
+    assert A == num_annotations
+    T = _pick_tile(K)
+    ipad = -(-I // T) * T
+    if ipad != I:
+        pad = ipad - I
+        annotations = jnp.pad(annotations, (0, pad),
+                              constant_values=num_annotations)
+        dterm = jnp.pad(dterm, ((0, 0), (0, pad)), constant_values=1.0)
+        nat_mu = jnp.pad(nat_mu, ((0, 0), (0, pad)))
+    ann2 = annotations[None, :].astype(jnp.int32)
+    eps = float(epsilon(nat_mu.dtype))
+    kern = functools.partial(_sums_kernel, P=P, A=A, eps=eps)
+    ncol = coeffs.shape[1]
+    sums = pl.pallas_call(
+        kern,
+        grid=(ipad // T,),
+        in_specs=[
+            pl.BlockSpec((K, ncol), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),         # coeffs
+            pl.BlockSpec((K, A), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),         # scores.T
+            pl.BlockSpec((1, T), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),         # annotations
+            pl.BlockSpec((P, T), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),         # dterm
+            pl.BlockSpec((P, T), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),         # nat_mu
+        ],
+        out_specs=pl.BlockSpec((K, A), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((K, A), nat_mu.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=50 * K * ipad + 2 * K * A * ipad,
+            bytes_accessed=4 * ipad * (2 * P + 1),
+            transcendentals=3 * K * ipad),
+        interpret=interpret,
+    )(coeffs, scores_t, ann2, dterm, nat_mu)
+    return sums.T
 
 
 def build_coeffs(mixture_prec, log_det):

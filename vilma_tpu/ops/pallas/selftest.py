@@ -120,8 +120,10 @@ def run_prologue_one(P, K, A, I=9000, seed=0):
     pm, pv, kl = co.prologue(*args, num_annotations=A)
     pm_i, pv_i, kl_i = co.prologue(*args, num_annotations=A,
                                    interpret=True)
+    sm = co.delta_sums(*args, num_annotations=A)
+    sm_i = co.delta_sums(*args, num_annotations=A, interpret=True)
     err = 0.0
-    for got, want in ((pm, pm_i), (pv, pv_i)):
+    for got, want in ((pm, pm_i), (pv, pv_i), (sm, sm_i)):
         scale = np.max(np.abs(np.asarray(want))) + 1e-30
         err = max(err, float(np.max(np.abs(np.asarray(got)
                                            - np.asarray(want))) / scale))
