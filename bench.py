@@ -29,6 +29,13 @@ _SIZE = os.environ.get('BENCH_SIZE', '100k')
 # BENCH_POPS=3 runs the multi-ancestry configuration (3 cohorts sharing
 # one LD panel; exercises the closed-form 3x3 sigma algebra)
 NUM_POPS = int(os.environ.get('BENCH_POPS', '2'))
+if not 1 <= NUM_POPS <= 3:
+    # the bench measures the compact-state fast path, which requires
+    # the closed-form sigma algebra (models/sigma.py, P <= 3) — the
+    # same gate as MultiPopVI._compact
+    raise SystemExit(f'BENCH_POPS={NUM_POPS}: the benchmark supports '
+                     '1-3 populations (compact state needs the '
+                     'closed-form P<=3 sigma algebra)')
 if _SIZE == '6m':
     NUM_LOCI = 6_000_000
 elif _SIZE == '1m':

@@ -28,6 +28,24 @@ def test_f32_matches_f64():
     assert np.isclose(elbo32, elbo64, rtol=1e-4)
 
 
+def test_floor_mixture_covs_rejects_negative_definite():
+    """A matrix with an EVEN number of negative eigenvalues passes the
+    slogdet-sign gate (det(diag(-1,-1)) = 1 > 0, same hole as the
+    reference's check), so the f32 flooring must reject it rather than
+    silently repairing it into a different (valid) model."""
+    import pytest
+    covs = np.stack([np.diag([-1.0, -1.0]),
+                     np.array([[1.0, 0.3], [0.3, 1.0]])])
+    with pytest.raises(ValueError, match='positive definite'):
+        engine._floor_mixture_covs(covs)
+    # tiny eigh round-off on a true PSD matrix must still be floored,
+    # not rejected
+    v = np.array([[1.0, 1.0], [1.0, -1.0]]) / np.sqrt(2)
+    psd = np.stack([v @ np.diag([1.0, -1e-16]) @ v.T])
+    floored = engine._floor_mixture_covs(psd)
+    assert np.linalg.eigvalsh(floored).min() > 0
+
+
 def test_floor_mixture_covs_rescues_subnormal_spike():
     """The reference grid's near-zero spike can land below f32's
     smallest normal (a real fixture produced 6.6e-44 variance), which

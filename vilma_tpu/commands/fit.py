@@ -138,9 +138,9 @@ def args(super_parser):
                              'compact-objective prologue (softmax + '
                              'posterior moments + KL in one SNP pass). '
                              'auto enables them for --precision f32 on '
-                             'an accelerator (measured 2.3x per '
-                             'objective evaluation at 1M SNPs; see '
-                             'PARITY.md).')
+                             'an accelerator (measured 2.4x per outer '
+                             'iteration at 1M SNPs; see PARITY.md '
+                             'round-3 findings).')
     parser.add_argument('--align-layout', dest='align_layout',
                         action='store_true',
                         help='Relayout the problem so LD blocks occupy '

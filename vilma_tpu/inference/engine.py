@@ -503,38 +503,55 @@ def _prologue_supported(data, nat_mu):
     return compact_obj.supported(P, K, jnp.dtype(nat_mu.dtype))
 
 
-def _prologue_fused(data, error_scaling, nat_mu, hyper_delta, interpret):
-    """(post_means, post_vars, beta_kl) via the fused Mosaic prologue
-    (ops/pallas/compact_obj.py). Under a shard-local mesh layout the
-    kernel runs per-device inside one shard_map over the 'snp' axis —
-    the [P, I] operands are already span-sharded, so the only collective
-    is the psum of the beta-KL scalar."""
-    from jax.sharding import PartitionSpec as PS
+def _fused_operands(data, error_scaling, nat_mu, hyper_delta):
+    """Operand tuple shared by the fused compact kernels
+    (ops/pallas/compact_obj): coefficient table, transposed prior
+    scores, and the per-SNP [*, I] arrays, plus whether the LD layout
+    is shard-local (the kernels then run per-device in a shard_map)."""
     from vilma_tpu.ops.pallas import compact_obj
     dterm = _diag_term(data, error_scaling)
     coeffs = compact_obj.build_coeffs(data.mixture_prec, data.log_det)
     scores_t = (jnp.log(hyper_delta)
                 - 0.5 * data.log_det).T.astype(nat_mu.dtype)
+    sharded = bool(data.ld) and getattr(data.ld[0], 'shard_count', 1) > 1
+    return (coeffs, scores_t, data.annotations, dterm, nat_mu), sharded
+
+
+def _fused_shard_map(local, out_specs):
+    """shard_map over the 'snp' axis with the canonical fused-kernel
+    in_specs (replicated tables, span-sharded [*, I] operands).
+
+    check_vma=False: pallas_call cannot declare output vma (see
+    blocks._dot_sharded); cross-device outputs are psum'd explicitly
+    inside `local`."""
+    from jax.sharding import PartitionSpec as PS
+    return jax.shard_map(
+        local,
+        in_specs=(PS(), PS(), PS('snp'), PS(None, 'snp'),
+                  PS(None, 'snp')),
+        out_specs=out_specs, check_vma=False)
+
+
+def _prologue_fused(data, error_scaling, nat_mu, hyper_delta, interpret):
+    """(post_means, post_vars, beta_kl) via the fused Mosaic prologue
+    (ops/pallas/compact_obj.py). Under a shard-local mesh layout the
+    [P, I] operands are already span-sharded, so the only collective
+    is the psum of the beta-KL scalar."""
+    from jax.sharding import PartitionSpec as PS
+    from vilma_tpu.ops.pallas import compact_obj
+    args, sharded = _fused_operands(data, error_scaling, nat_mu,
+                                    hyper_delta)
     A = data.num_annotations
-    if data.ld and getattr(data.ld[0], 'shard_count', 1) > 1:
+    if sharded:
         def local(co, sc, ann, dt, nm):
             pm, pv, kl = compact_obj.prologue(
                 co, sc, ann, dt, nm, num_annotations=A,
                 interpret=interpret)
             return pm, pv, jax.lax.psum(kl, 'snp')
 
-        # check_vma=False: pallas_call cannot declare output vma (see
-        # blocks._dot_sharded); the one cross-device value (the KL
-        # scalar) is psum'd explicitly above
-        return jax.shard_map(
-            local,
-            in_specs=(PS(), PS(), PS('snp'), PS(None, 'snp'),
-                      PS(None, 'snp')),
-            out_specs=(PS(None, 'snp'), PS(None, 'snp'), PS()),
-            check_vma=False,
-        )(coeffs, scores_t, data.annotations, dterm, nat_mu)
-    return compact_obj.prologue(coeffs, scores_t, data.annotations,
-                                dterm, nat_mu, num_annotations=A,
+        return _fused_shard_map(
+            local, (PS(None, 'snp'), PS(None, 'snp'), PS()))(*args)
+    return compact_obj.prologue(*args, num_annotations=A,
                                 interpret=interpret)
 
 
@@ -562,28 +579,18 @@ def _objective_compact(data, st, nat_mu, hyper_delta):
             data.ld_ranks, st.error_scaling)
         return ll - beta_kl, post_means, linked_ests
 
-    eps = epsilon(nat_mu.dtype)
     dterm = _diag_term(data, st.error_scaling)
     ex = sigma_mod.compact_exprs(data.mixture_prec, dterm, nat_mu)
 
-    # vi_delta logits (fast_invert_nat_vi_delta + fast_vi_delta_grad)
-    A = hyper_delta.shape[0]
-    scores = jnp.log(hyper_delta) - 0.5 * data.log_det       # [A, K]
-    nat_sc = scores[:, :-1] - scores[:, -1:]                 # [A, K-1]
-    natvd = jnp.broadcast_to(nat_sc.T[:, -1:],
-                             (nat_sc.shape[1], nat_mu.shape[1]))
-    for a in range(A - 1):
-        natvd = jnp.where(data.annotations[None, :] == a,
-                          nat_sc.T[:, a:a + 1], natvd)
+    # vi_delta from the compact closed forms: the prior-only natural
+    # params plus the per-component quadratic/log-det corrections, fed
+    # through the stabilized categorical inversion (these are the same
+    # jnp kernels the materialized path uses; both fuse under jit)
+    natvd = kernels.fast_vi_delta_grad(hyper_delta, data.log_det,
+                                       data.annotations)     # [K-1, I]
     addenda = ex.log_det_sigma + ex.quad                     # [K, I]
     li = 0.5 * (addenda[:-1] - addenda[-1:]) + natvd         # [K-1, I]
-    m = jnp.max(li, axis=0, keepdims=True, initial=0.0)      # [1, I]
-    e = jnp.exp(li - m)
-    el = jnp.exp(-m)
-    vi_delta = jnp.maximum(
-        jnp.concatenate([e, el], axis=0) / (el + jnp.sum(e, axis=0,
-                                                         keepdims=True)),
-        eps)                                                 # [K, I]
+    vi_delta = kernels.invert_nat_cat_2D(li)                 # [K, I]
 
     # posterior moments (fast_posterior_mean / fast_pmv)
     post_means = jnp.einsum('kpi,ki->pi', ex.mu, vi_delta)
@@ -687,26 +694,18 @@ def _delta_sums_fused(data, error_scaling, nat_mu, hyper_delta,
     kernel (no [K, *, I] materialization; see compact_obj.delta_sums)."""
     from jax.sharding import PartitionSpec as PS
     from vilma_tpu.ops.pallas import compact_obj
-    dterm = _diag_term(data, error_scaling)
-    coeffs = compact_obj.build_coeffs(data.mixture_prec, data.log_det)
-    scores_t = (jnp.log(hyper_delta)
-                - 0.5 * data.log_det).T.astype(nat_mu.dtype)
+    args, sharded = _fused_operands(data, error_scaling, nat_mu,
+                                    hyper_delta)
     A = data.num_annotations
-    if data.ld and getattr(data.ld[0], 'shard_count', 1) > 1:
+    if sharded:
         def local(co, sc, ann, dt, nm):
             s = compact_obj.delta_sums(co, sc, ann, dt, nm,
                                        num_annotations=A,
                                        interpret=interpret)
             return jax.lax.psum(s, 'snp')
 
-        return jax.shard_map(
-            local,
-            in_specs=(PS(), PS(), PS('snp'), PS(None, 'snp'),
-                      PS(None, 'snp')),
-            out_specs=PS(), check_vma=False,
-        )(coeffs, scores_t, data.annotations, dterm, nat_mu)
-    return compact_obj.delta_sums(coeffs, scores_t, data.annotations,
-                                  dterm, nat_mu, num_annotations=A,
+        return _fused_shard_map(local, PS())(*args)
+    return compact_obj.delta_sums(*args, num_annotations=A,
                                   interpret=interpret)
 
 
@@ -948,6 +947,16 @@ def _floor_mixture_covs(mixture_covs, rel_floor=1e-10):
     floor = float(w.max()) * rel_floor
     if w.min() >= floor:
         return mixture_covs
+    # A genuinely negative spectrum is an invalid input, not a range
+    # problem: the slogdet-sign gate above (matching the reference's
+    # check) passes matrices with an EVEN number of negative
+    # eigenvalues, and flooring one would silently fit a different
+    # model. Reject instead of repairing. (Tolerance: eigh round-off
+    # on a true PSD matrix is O(f64-eps * ||A||) ~ 1e-16 * w.max,
+    # orders of magnitude inside the -floor = -1e-10 * w.max gate.)
+    if w.min() < -floor:
+        raise ValueError('Every mixture-component covariance matrix '
+                         'must be positive definite.')
     logging.info('f32 path: flooring %d mixture-covariance eigenvalues '
                  'below %.3e (near-zero spike components outside f32 '
                  'range)', int((w < floor).sum()), floor)

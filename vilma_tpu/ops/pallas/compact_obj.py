@@ -189,6 +189,46 @@ def _kernel(coeffs_ref, scores_ref, ann_ref, dterm_ref, nat_ref,
     kl_ref[...] += kl_tile
 
 
+def _prep_launch(kernel, coeffs, scores_t, annotations, dterm, nat_mu,
+                 num_annotations):
+    """Launch prep shared by every compact-objective kernel: tile-pad
+    the [*, I] operands (pad slots carry the sentinel annotation id
+    `num_annotations` and an inert dterm of 1.0 — `_derive_tile` drops
+    them), bind the kernel's static parameters, and build the canonical
+    SNP-grid + in_specs contract.
+
+    Returns (kern, grid, in_specs, args, ipad, T)."""
+    P, I = nat_mu.shape
+    K, A = scores_t.shape
+    assert A == num_annotations
+    T = _pick_tile(K)
+    ipad = -(-I // T) * T
+    if ipad != I:
+        pad = ipad - I
+        annotations = jnp.pad(annotations, (0, pad),
+                              constant_values=num_annotations)
+        dterm = jnp.pad(dterm, ((0, 0), (0, pad)), constant_values=1.0)
+        nat_mu = jnp.pad(nat_mu, ((0, 0), (0, pad)))
+    ann2 = annotations[None, :].astype(jnp.int32)
+    eps = float(epsilon(nat_mu.dtype))
+    kern = functools.partial(kernel, P=P, A=A, eps=eps)
+    ncol = coeffs.shape[1]
+    in_specs = [
+        pl.BlockSpec((K, ncol), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),         # coeffs
+        pl.BlockSpec((K, A), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),         # scores.T
+        pl.BlockSpec((1, T), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),         # annotations
+        pl.BlockSpec((P, T), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),         # dterm
+        pl.BlockSpec((P, T), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),         # nat_mu
+    ]
+    args = (coeffs, scores_t, ann2, dterm, nat_mu)
+    return kern, (ipad // T,), in_specs, args, ipad, T
+
+
 def prologue(coeffs, scores_t, annotations, dterm, nat_mu, *,
              num_annotations, interpret=False):
     """Fused (post_means, post_vars, beta_kl) of a compact parameter point.
@@ -207,34 +247,13 @@ def prologue(coeffs, scores_t, annotations, dterm, nat_mu, *,
     """
     P, I = nat_mu.shape
     K, A = scores_t.shape
-    assert A == num_annotations
-    T = _pick_tile(K)
-    ipad = -(-I // T) * T
-    if ipad != I:
-        pad = ipad - I
-        annotations = jnp.pad(annotations, (0, pad),
-                              constant_values=num_annotations)
-        dterm = jnp.pad(dterm, ((0, 0), (0, pad)), constant_values=1.0)
-        nat_mu = jnp.pad(nat_mu, ((0, 0), (0, pad)))
-    ann2 = annotations[None, :].astype(jnp.int32)
-    eps = float(epsilon(nat_mu.dtype))
-    kern = functools.partial(_kernel, P=P, A=A, eps=eps)
-    ncol = coeffs.shape[1]
+    kern, grid, in_specs, args, ipad, T = _prep_launch(
+        _kernel, coeffs, scores_t, annotations, dterm, nat_mu,
+        num_annotations)
     pm, pv, kl = pl.pallas_call(
         kern,
-        grid=(ipad // T,),
-        in_specs=[
-            pl.BlockSpec((K, ncol), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),         # coeffs
-            pl.BlockSpec((K, A), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),         # scores.T
-            pl.BlockSpec((1, T), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),         # annotations
-            pl.BlockSpec((P, T), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),         # dterm
-            pl.BlockSpec((P, T), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),         # nat_mu
-        ],
+        grid=grid,
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((P, T), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -253,7 +272,7 @@ def prologue(coeffs, scores_t, annotations, dterm, nat_mu, *,
             bytes_accessed=4 * ipad * (4 * P + 1),
             transcendentals=3 * K * ipad),
         interpret=interpret,
-    )(coeffs, scores_t, ann2, dterm, nat_mu)
+    )(*args)
     return pm[:, :I], pv[:, :I], kl[0, 0]
 
 
@@ -291,36 +310,15 @@ def delta_sums(coeffs, scores_t, annotations, dterm, nat_mu, *,
     compact natural mean without materializing vi_delta (the XLA
     _derive_params route streams ~2 GB of [K, *, I] intermediates at
     1M SNPs for what is one [A, K] table)."""
-    P, I = nat_mu.shape
+    P, _ = nat_mu.shape
     K, A = scores_t.shape
-    assert A == num_annotations
-    T = _pick_tile(K)
-    ipad = -(-I // T) * T
-    if ipad != I:
-        pad = ipad - I
-        annotations = jnp.pad(annotations, (0, pad),
-                              constant_values=num_annotations)
-        dterm = jnp.pad(dterm, ((0, 0), (0, pad)), constant_values=1.0)
-        nat_mu = jnp.pad(nat_mu, ((0, 0), (0, pad)))
-    ann2 = annotations[None, :].astype(jnp.int32)
-    eps = float(epsilon(nat_mu.dtype))
-    kern = functools.partial(_sums_kernel, P=P, A=A, eps=eps)
-    ncol = coeffs.shape[1]
+    kern, grid, in_specs, args, ipad, _ = _prep_launch(
+        _sums_kernel, coeffs, scores_t, annotations, dterm, nat_mu,
+        num_annotations)
     sums = pl.pallas_call(
         kern,
-        grid=(ipad // T,),
-        in_specs=[
-            pl.BlockSpec((K, ncol), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),         # coeffs
-            pl.BlockSpec((K, A), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),         # scores.T
-            pl.BlockSpec((1, T), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),         # annotations
-            pl.BlockSpec((P, T), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),         # dterm
-            pl.BlockSpec((P, T), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),         # nat_mu
-        ],
+        grid=grid,
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((K, A), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((K, A), nat_mu.dtype),
@@ -329,7 +327,7 @@ def delta_sums(coeffs, scores_t, annotations, dterm, nat_mu, *,
             bytes_accessed=4 * ipad * (2 * P + 1),
             transcendentals=3 * K * ipad),
         interpret=interpret,
-    )(coeffs, scores_t, ann2, dterm, nat_mu)
+    )(*args)
     return sums.T
 
 
