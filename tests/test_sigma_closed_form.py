@@ -67,3 +67,49 @@ def test_apply_sigma_inverts_precision_p3():
     px = np.asarray(sigma_mod.apply_precision(prec, dt, x))
     roundtrip = np.asarray(sigma_mod.apply_sigma(prec, dt, px))
     assert np.allclose(roundtrip, x, rtol=1e-9, atol=1e-11)
+
+
+@pytest.mark.parametrize('P', [4, 5])
+def test_generic_path_chunking_matches_unchunked(P, monkeypatch):
+    """The P>=4 chunked batched-solve path (multiple chunks + a ragged
+    tail: I=37, chunk=8) must equal the same math done in one chunk."""
+    prec, dt, vd, x, ldp = _problem(P)
+    one = {
+        'apply': np.asarray(sigma_mod.apply_sigma(prec, dt, x)),
+        'summ': sigma_mod.make_summaries(prec, ldp, dt),
+        'wsum': np.asarray(sigma_mod.sigma_weighted_sum(prec, dt, vd)),
+    }
+    monkeypatch.setattr(sigma_mod, '_GENERIC_CHUNK', 8)
+    assert np.allclose(np.asarray(sigma_mod.apply_sigma(prec, dt, x)),
+                       one['apply'], rtol=1e-12, atol=1e-14)
+    summ = sigma_mod.make_summaries(prec, ldp, dt)
+    for field in ('log_det_sigma', 'sigma_summary', 'diag', 'matches'):
+        assert np.allclose(np.asarray(getattr(summ, field)),
+                           np.asarray(getattr(one['summ'], field)),
+                           rtol=1e-12, atol=1e-14), field
+    assert np.allclose(
+        np.asarray(sigma_mod.sigma_weighted_sum(prec, dt, vd)),
+        one['wsum'], rtol=1e-12, atol=1e-14)
+
+
+@pytest.mark.parametrize('P', [4, 5])
+def test_generic_path_oracles(P, monkeypatch):
+    """P>=4 correctness against materialize_sigma (dense [K,P,P,I]
+    oracle, kept only for checkpoint parity/tests) and the
+    sigma@(precision@x)==x roundtrip — with chunking engaged."""
+    prec, dt, vd, x, ldp = _problem(P, seed=3)
+    monkeypatch.setattr(sigma_mod, '_GENERIC_CHUNK', 16)
+    dense = np.asarray(sigma_mod.materialize_sigma(prec, dt))  # [K,P,P,I]
+    got = np.asarray(sigma_mod.apply_sigma(prec, dt, x))
+    expect = np.einsum('kpqi,kqi->kpi', dense, x)
+    assert np.allclose(got, expect, rtol=1e-9, atol=1e-11)
+    px = np.asarray(sigma_mod.apply_precision(prec, dt, x))
+    roundtrip = np.asarray(sigma_mod.apply_sigma(prec, dt, px))
+    assert np.allclose(roundtrip, x, rtol=1e-9, atol=1e-11)
+    summ = sigma_mod.make_summaries(prec, ldp, dt)
+    diag_expect = np.einsum('kppi->kpi', dense)
+    assert np.allclose(np.asarray(summ.diag), diag_expect,
+                       rtol=1e-9, atol=1e-11)
+    ws = np.asarray(sigma_mod.sigma_weighted_sum(prec, dt, vd))
+    ws_expect = np.einsum('ki,kpqi->ipq', vd, dense)
+    assert np.allclose(ws, ws_expect, rtol=1e-9, atol=1e-11)

@@ -11,7 +11,9 @@ however, a deterministic function of K PxP precision matrices and a [P,I]
 diagonal, so on TPU we never materialize it: every contraction against
 vi_sigma is expressed with closed-form PxP inverses (P = #populations is
 1-3 in practice) fused into the consuming kernel, keeping HBM traffic at
-O(K*P*I) instead of O(K*P^2*I). SURVEY.md section 7.3 item 5.
+O(K*P*I) instead of O(K*P^2*I). For P >= 4 a chunked batched-solve path
+(lax.map over I-chunks) keeps temporaries bounded, so any population
+count runs at genome scale. SURVEY.md section 7.3 item 5.
 
 Functions take `diag_term` = scaled_ld_diags / error_scaling[:, None]
 ([P, I]) and `mixture_prec` ([K, P, P]).
@@ -87,6 +89,43 @@ def _use_closed_form(P):
     return P <= 3
 
 
+# Chunk length for the generic P>=4 path: bounds its [K, C, P, P]
+# batched-solve temporaries to a few MB regardless of genome size
+# (the reference materializes the full [K, P, P, I] vi_sigma for every
+# P, variational_inference.py:712-733 — at 1M SNPs that is tens of GB).
+_GENERIC_CHUNK = 4096
+
+
+def _map_i_chunks(fn, diag_term, extra=None, extra_pad=0.0):
+    """Run `fn(diag_chunk [P,C], extra_chunk)` over I-chunks via lax.map.
+
+    `diag_term` is [P, I]; `extra` (optional) has I as its LAST axis.
+    `fn` returns a pytree of arrays whose last axis is the chunk; chunks
+    are concatenated back to I. The diag pad value is 1.0 so padded
+    precision slots stay invertible (mixture_prec[k] + I is PD); padded
+    outputs are sliced off before returning.
+    """
+    P, I = diag_term.shape
+    C = min(_GENERIC_CHUNK, I)
+    n = -(-I // C)
+    pad = n * C - I
+    dt = jnp.pad(diag_term, ((0, 0), (0, pad)), constant_values=1.0)
+    dt = jnp.moveaxis(dt.reshape(P, n, C), 1, 0)            # [n, P, C]
+    if extra is not None:
+        widths = [(0, 0)] * (extra.ndim - 1) + [(0, pad)]
+        ex = jnp.pad(extra, widths, constant_values=extra_pad)
+        ex = jnp.moveaxis(ex.reshape(*extra.shape[:-1], n, C), -2, 0)
+        out = jax.lax.map(lambda args: fn(*args), (dt, ex))
+    else:
+        out = jax.lax.map(fn, dt)
+
+    def unchunk(o):
+        o = jnp.moveaxis(o, 0, -2)                          # [..., n, C]
+        return o.reshape(*o.shape[:-2], n * C)[..., :I]
+
+    return jax.tree_util.tree_map(unchunk, out)
+
+
 def apply_precision(mixture_prec, diag_term, x):
     """(mixture_prec[k] + diag(diag_term[:,i])) @ x[k,:,i] -> [K,P,I].
 
@@ -119,11 +158,15 @@ def apply_sigma(mixture_prec, diag_term, x):
         y1 = (B * x0 + D * x1 + E * x2) / det
         y2 = (C * x0 + E * x1 + F * x2) / det
         return jnp.stack([y0, y1, y2], axis=1)
-    # generic fallback: batched PxP solve (materializes [K,I,P,P])
-    prec = _dense_precision(mixture_prec, diag_term)
-    rhs = jnp.transpose(x, (0, 2, 1))[..., None]           # [K,I,P,1]
-    sol = jnp.linalg.solve(prec, rhs)[..., 0]              # [K,I,P]
-    return jnp.transpose(sol, (0, 2, 1))
+    # generic fallback (P >= 4): batched PxP solve over I-chunks so the
+    # [K, C, P, P] temporaries stay bounded at genome scale
+    def _chunk(dt_c, x_c):
+        prec = _dense_precision(mixture_prec, dt_c)        # [K,C,P,P]
+        rhs = jnp.transpose(x_c, (0, 2, 1))[..., None]     # [K,C,P,1]
+        sol = jnp.linalg.solve(prec, rhs)[..., 0]          # [K,C,P]
+        return jnp.transpose(sol, (0, 2, 1))               # [K,P,C]
+
+    return _map_i_chunks(_chunk, diag_term, x)
 
 
 def _dense_precision(mixture_prec, diag_term):
@@ -167,12 +210,16 @@ def make_summaries(mixture_prec, log_det_prior, diag_term):
                        + 2 * (pr[:, 0, 1] * B + pr[:, 0, 2] * C
                               + pr[:, 1, 2] * E)) / det       # [K,I]
     else:
-        prec = _dense_precision(mixture_prec, diag_term)      # [K,I,P,P]
-        sigma = jnp.linalg.inv(prec)
-        log_det_sigma = -jnp.linalg.slogdet(prec)[1]          # [K,I]
-        diag = jnp.transpose(jnp.diagonal(sigma, axis1=-2, axis2=-1),
-                             (0, 2, 1))                       # [K,P,I]
-        matches = jnp.einsum('kpq,kiqp->ki', mixture_prec, sigma)
+        def _chunk(dt_c):
+            prec = _dense_precision(mixture_prec, dt_c)       # [K,C,P,P]
+            sigma = jnp.linalg.inv(prec)
+            lds = -jnp.linalg.slogdet(prec)[1]                # [K,C]
+            dg = jnp.transpose(jnp.diagonal(sigma, axis1=-2, axis2=-1),
+                               (0, 2, 1))                     # [K,P,C]
+            mt = jnp.einsum('kpq,kcqp->kc', mixture_prec, sigma)
+            return lds, dg, mt
+
+        log_det_sigma, diag, matches = _map_i_chunks(_chunk, diag_term)
     sigma_summary = (log_det_prior[:, None] - log_det_sigma + matches)
     return SigmaSummaries(log_det_sigma=log_det_sigma,
                           sigma_summary=sigma_summary,
@@ -280,9 +327,13 @@ def sigma_weighted_sum(mixture_prec, diag_term, vi_delta):
         row1 = jnp.stack([s01, s11, s12], axis=-1)
         row2 = jnp.stack([s02, s12, s22], axis=-1)
         return jnp.stack([row0, row1, row2], axis=-2)         # [I,3,3]
-    prec = _dense_precision(mixture_prec, diag_term)
-    sigma = jnp.linalg.inv(prec)                              # [K,I,P,P]
-    return jnp.einsum('ki,kipq->ipq', vi_delta, sigma)
+    def _chunk(dt_c, vd_c):
+        prec = _dense_precision(mixture_prec, dt_c)           # [K,C,P,P]
+        sigma = jnp.linalg.inv(prec)
+        return jnp.einsum('kc,kcpq->pqc', vd_c, sigma)        # [P,P,C]
+
+    out = _map_i_chunks(_chunk, diag_term, vi_delta)          # [P,P,I]
+    return jnp.transpose(out, (2, 0, 1))
 
 
 def materialize_sigma(mixture_prec, diag_term):
