@@ -63,6 +63,27 @@ def test_four_populations_generic_sigma():
     assert np.all(np.isfinite(scheme.real_posterior_variance(st)))
 
 
+def test_four_populations_chunked_trajectory_invariance(monkeypatch):
+    """The P>=4 sigma path chunks over I at genome scale; the chunk
+    length must not change the fit. Run the full engine with the chunk
+    shrunk so n=24 splits into 3 chunks + a ragged tail, and require
+    the trajectory to match the single-chunk run exactly."""
+    from vilma_tpu.models import sigma as sigma_mod
+
+    def _fit():
+        np.random.seed(6)
+        scheme = _scheme(num_pops=4, num_comps=2, num_its=6)
+        st = scheme.optimize()
+        return (np.asarray(scheme.real_posterior_mean(st)),
+                scheme.elbo_value(st))
+
+    pm_one, e_one = _fit()
+    monkeypatch.setattr(sigma_mod, '_GENERIC_CHUNK', 10)
+    pm_chunked, e_chunked = _fit()
+    assert np.allclose(pm_chunked, pm_one, rtol=1e-12, atol=1e-14)
+    assert np.isclose(e_chunked, e_one, rtol=1e-12)
+
+
 def test_single_population():
     np.random.seed(5)
     scheme = _scheme(num_pops=1, num_comps=4)
