@@ -12,7 +12,15 @@ the LD payload, which never moves after setup. See BASELINE.md
 
 Run: XLA_FLAGS=--xla_force_host_platform_device_count=8 \
      python analyze_collectives.py [NUM_LOCI]
+
+Multi-process mode (`--distributed N [NUM_LOCI]`): launches an N-process
+jax.distributed CPU cluster (8 global devices), loads a synthetic schema
+through the shard-local multi-process loader
+(parallel.distributed.plan_sharded_load + load_ld_sharded), and prints
+rank 0's collective inventory of the compiled outer step — the program a
+real pod runs under `fit --distributed`.
 """
+import os
 import re
 import sys
 
@@ -125,5 +133,132 @@ def main():
     return report('shard-local layout', hlo2)
 
 
+def _build_synth_schema(root, num_loci, block):
+    """Synthetic AR(1) dense-block schema + extract file on disk."""
+    rng = np.random.default_rng(0)
+    rows, ids = [], []
+    start = 0
+    b = 0
+    while start < num_loci:
+        size = min(block, num_loci - start)
+        idx = np.abs(np.subtract.outer(np.arange(size), np.arange(size)))
+        np.save(f'{root}_{b}.npy', rng.uniform(0.3, 0.9) ** idx)
+        with open(f'{root}_{b}.var', 'w') as fh:
+            for i in range(size):
+                name = f'snp{b}_{i}'
+                ids.append(name)
+                fh.write(f'{name}\t1\t{start + i + 1}\t0\tA\tT\n')
+        rows.append(f'{root}_{b}.var\t{root}_{b}.npy')
+        start += size
+        b += 1
+    with open(root + '.schema', 'w') as fh:
+        fh.write('\n'.join(rows) + '\n')
+    with open(root + '.schema.extract', 'w') as fh:
+        fh.write('ID\tA1\tA2\n')
+        fh.write(''.join(f'{name}\tA\tT\n' for name in ids))
+    return root + '.schema'
+
+
+def _worker_distributed():
+    """Child body for --distributed mode (driven by AC_* env vars)."""
+    pid = int(os.environ['AC_PID'])
+    nproc = int(os.environ['AC_NPROC'])
+    ndev = int(os.environ['AC_NDEV'])
+    num_loci = int(os.environ['AC_LOCI'])
+    os.environ['JAX_PLATFORMS'] = 'cpu'
+    os.environ['XLA_FLAGS'] = (
+        os.environ.get('XLA_FLAGS', '')
+        + f' --xla_force_host_platform_device_count={ndev}')
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+    jax.config.update('jax_enable_x64', True)
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{os.environ['AC_PORT']}",
+        num_processes=nproc, process_id=pid)
+    import pandas as pd
+    from jax.sharding import Mesh
+    from vilma_tpu.parallel import alignment, distributed
+    from vilma_tpu.inference import MultiPopVI, engine
+    from vilma_tpu.parallel import mesh as mesh_mod
+
+    schema = os.environ['AC_SCHEMA']
+    variants = pd.read_csv(schema + '.extract', sep='\t')
+    devices = distributed.process_contiguous_devices()
+    mesh = Mesh(np.asarray(devices).reshape(1, len(devices)),
+                axis_names=('comp', 'snp'))
+    plan = distributed.plan_sharded_load([(schema, [])], variants,
+                                         len(devices))
+    assert plan is not None
+    ld, _ = distributed.load_ld_sharded(schema, variants, denylist=[],
+                                        ldthresh=1.0, mesh=mesh,
+                                        plan=plan)
+    n = variants.shape[0]
+    rng = np.random.default_rng(1)
+    ses = rng.uniform(0.01, 0.05, (2, n))
+    betas = rng.standard_normal((2, n)) * ses * 2
+    betas = alignment.relayout_rows(betas, plan.layout_map, plan.L, 0.0)
+    ses = alignment.relayout_rows(ses, plan.layout_map, plan.L, 1.0)
+    annot = alignment.relayout_annotations(np.ones((n, 1)),
+                                           plan.layout_map, plan.L)
+    covs = [np.eye(2) * s for s in (1e-6, 1e-4, 1e-2)]
+    np.random.seed(0)
+    vi = MultiPopVI(marginal_effects=betas, std_errs=ses,
+                    ld_mats=[ld, ld], annotations=annot,
+                    mixture_covs=covs, checkpoint=False,
+                    gwas_N=np.full(2, 1e5), init_hg=np.full(2, 0.3),
+                    num_its=2, mesh=mesh, out_index=plan.layout_map)
+    st = vi._initialize()
+    st = mesh_mod.shard_state(st, mesh)
+    with jax.set_mesh(mesh):
+        hlo = jax.jit(
+            lambda d, s: engine.outer_step_impl(d, s, 2.0),
+        ).lower(vi.data, st).compile().as_text()
+    if pid == 0:
+        inv = collective_inventory(hlo)
+        print(f'collectives in one outer_step — {nproc}-process '
+              f'shard-local cluster ({len(devices)}-way snp mesh, '
+              f'I={num_loci}, P=2, f64):')
+        total = 0
+        for op, (cnt, byt) in sorted(inv.items()):
+            print(f'  {op:20s} count={cnt:3d}  bytes={byt:>12,}')
+            total += byt
+        print(f'  {"TOTAL":20s} {"":10s}  bytes={total:>12,}'
+              f'  ({total / max(num_loci, 1):.3f} B/SNP)')
+
+
+def main_distributed(nproc, num_loci):
+    """Parent for --distributed: build the schema, fork the cluster."""
+    import socket
+    import subprocess
+    import tempfile
+    with socket.socket() as s:
+        s.bind(('localhost', 0))
+        port = s.getsockname()[1]
+    tmp = tempfile.mkdtemp(prefix='ac_dist_')
+    schema = _build_synth_schema(os.path.join(tmp, 'synth'), num_loci,
+                                 block=512)
+    ndev = 8 // nproc
+    procs = []
+    for pid in range(nproc):
+        env = dict(os.environ,
+                   AC_PID=str(pid), AC_NPROC=str(nproc),
+                   AC_PORT=str(port), AC_NDEV=str(ndev),
+                   AC_LOCI=str(num_loci), AC_SCHEMA=schema,
+                   AC_CHILD='1')
+        env.pop('XLA_FLAGS', None)
+        procs.append(subprocess.Popen([sys.executable,
+                                       os.path.abspath(__file__)],
+                                      env=env))
+    rcs = [p.wait() for p in procs]
+    if any(rcs):
+        raise SystemExit(f'cluster worker failed: {rcs}')
+
+
 if __name__ == '__main__':
-    main()
+    if os.environ.get('AC_CHILD'):
+        _worker_distributed()
+    elif len(sys.argv) > 1 and sys.argv[1] == '--distributed':
+        main_distributed(int(sys.argv[2]),
+                         int(sys.argv[3]) if len(sys.argv) > 3 else 8192)
+    else:
+        main()

@@ -84,13 +84,61 @@ def test_sharded_assembly_matches_plain_loader(tmp_path):
     assert np.allclose(diag_plain, diag_sharded, rtol=1e-12, atol=1e-12)
 
 
+def test_shard_local_assembly_matches_plain_loader(tmp_path):
+    """Single process, 8 simulated devices: the shard-local plan path
+    (plan_sharded_load + per-shard block ownership) must define the same
+    operator as the plain loader composed with the layout map, with
+    shard_count == 8 and row-aligned buckets."""
+    sizes = [48, 96, 130, 64, 48, 77, 200, 64]
+    schema = _build_schema(tmp_path, sizes=sizes)
+    variants = pd.read_csv(schema + '.extract', sep='\t')
+    plain, miss1 = load.load_ld_from_schema(schema, variants, denylist=[],
+                                            ldthresh=1.0)
+    mesh = mesh_mod.make_mesh(n_snp=8, n_comp=1)
+    plan = distributed.plan_sharded_load([(schema, [])], variants, 8)
+    assert plan is not None
+    sharded, miss2 = distributed.load_ld_sharded(
+        schema, variants, denylist=[], ldthresh=1.0, mesh=mesh, plan=plan)
+    assert miss1 == miss2
+    assert sharded.shard_count == 8
+    assert sharded.row_aligned
+    assert plain.rank == sharded.rank
+    assert plan.L % (8 * 128) == 0
+
+    # operator equality through the layout map: y[orig] must match
+    n = variants.shape[0]
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(n)
+    y_plain = np.asarray(blocks.dot(plain, x))
+    from vilma_tpu.parallel import alignment
+    xl = alignment.relayout_rows(x, plan.layout_map, plan.L)
+    with jax.set_mesh(mesh):
+        yl = np.asarray(jax.jit(blocks.dot)(sharded, jax.numpy.asarray(xl)))
+        inv_l = np.asarray(jax.jit(blocks.inverse_dot)(
+            sharded, jax.numpy.asarray(xl)))
+        diag_l = np.asarray(jax.jit(blocks.diag)(sharded))
+    assert np.allclose(y_plain, yl[plan.layout_map], rtol=1e-12,
+                       atol=1e-12)
+    inv_plain = np.asarray(blocks.inverse_dot(plain, x))
+    diag_plain = np.asarray(blocks.diag(plain))
+    assert np.allclose(inv_plain, inv_l[plan.layout_map], rtol=1e-10,
+                       atol=1e-10)
+    assert np.allclose(diag_plain, diag_l[plan.layout_map], rtol=1e-12,
+                       atol=1e-12)
+    # pad slots carry nothing
+    pad_mask = np.ones(plan.L, dtype=bool)
+    pad_mask[plan.layout_map] = False
+    assert np.allclose(yl[pad_mask], 0.0)
+
+
 def _free_port():
     with socket.socket() as s:
         s.bind(('localhost', 0))
         return s.getsockname()[1]
 
 
-def _cluster_fit_matches_single_process(tmp_path, nproc, ndev):
+def _cluster_fit_matches_single_process(tmp_path, nproc, ndev,
+                                        layout='shard-local'):
     """nproc-process jax.distributed CPU cluster (ndev simulated devices
     each) == single-process fit."""
     # 8 blocks, 512 SNPs: divisible by the 8-device global mesh
@@ -128,7 +176,7 @@ def _cluster_fit_matches_single_process(tmp_path, nproc, ndev):
     env.pop('XLA_FLAGS', None)
     procs = [subprocess.Popen(
         [sys.executable, worker, str(pid), str(nproc), str(port), schema,
-         expected_path, str(ndev)],
+         expected_path, str(ndev), layout],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         text=True) for pid in range(nproc)]
     outs = []
@@ -145,14 +193,26 @@ def _cluster_fit_matches_single_process(tmp_path, nproc, ndev):
 
 @pytest.mark.slow
 def test_two_process_fit_matches_single_process(tmp_path):
+    """Two processes on the SHARD-LOCAL layout (the production multi-host
+    path since round 4): the worker also asserts the compiled outer step
+    has no O(I) collectives."""
     _cluster_fit_matches_single_process(tmp_path, nproc=2, ndev=4)
 
 
 @pytest.mark.slow
 def test_four_process_fit_matches_single_process(tmp_path):
     """The north-star host count (BASELINE.json: 1 -> 4 hosts): four
-    processes, two simulated devices each, one 8-way global snp mesh."""
+    processes, two simulated devices each, one 8-way global snp mesh,
+    shard-local layout."""
     _cluster_fit_matches_single_process(tmp_path, nproc=4, ndev=2)
+
+
+@pytest.mark.slow
+def test_two_process_fit_gather_fallback(tmp_path):
+    """The global-gather fallback (interleaved/non-contiguous blocks
+    would force it) must stay correct too."""
+    _cluster_fit_matches_single_process(tmp_path, nproc=2, ndev=4,
+                                        layout='gather')
 
 
 def _write_sumstats(tmp_path, variants, seed=2):
@@ -170,8 +230,13 @@ def _write_sumstats(tmp_path, variants, seed=2):
 @pytest.mark.slow
 def test_cli_two_process_fit(tmp_path):
     """End-to-end `vilma-tpu fit --distributed` on a manual 2-process
-    cluster: rank 0's output files must match the single-process CLI."""
-    schema = _build_schema(tmp_path, sizes=[64] * 8)
+    cluster: rank 0's output files must match the single-process CLI.
+
+    The variant count (509) is deliberately NOT divisible by the 8-way
+    snp mesh: the shard-local layout planner pads each shard's span
+    internally, so arbitrary extract lists work under --distributed
+    exactly as they do single-process."""
+    schema = _build_schema(tmp_path, sizes=[64] * 7 + [61])
     variants = pd.read_csv(schema + '.extract', sep='\t')
     ss1 = _write_sumstats(tmp_path, variants, seed=2)
     ss2 = _write_sumstats(tmp_path, variants, seed=3)

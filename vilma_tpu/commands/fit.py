@@ -222,7 +222,6 @@ def main(args):
     want_pallas = args.pallas == 'on' or (
         args.pallas == 'auto'
         and args.precision == 'f32'
-        and jax.process_count() == 1
         and any(d.platform == 'tpu' for d in jax.devices()))
     mesh = None
     if args.mesh:
@@ -232,23 +231,50 @@ def main(args):
                                   n_comp=int(axes.get('comp', 1)))
     multiproc = jax.process_count() > 1
 
-    # cohorts that share an LD panel (same --ld-schema path) and mask the
-    # same variants get ONE loaded matrix: the engine deduplicates LD
-    # inputs by object identity (engine.ModelData.ld_index), halving both
-    # device memory and per-iteration matvec traffic for the shared case
-    ld_cache = {}
-    for idx, (ld_schema_path, sumstats_path) in enumerate(
-            zip(args.ld_schema.split(','), args.sumstats.split(','))):
+    # pass 1: sumstats for every cohort (host-side, no RNG draws — the
+    # reference's seeded stream is untouched by reordering these before
+    # the LD loads)
+    cohort_missing = []
+    for idx, sumstats_path in enumerate(args.sumstats.split(',')):
         logging.info('Loading sumstats for population %d...', idx + 1)
         sumstats, missing = load.load_sumstats(sumstats_path,
                                                variants=variants)
         missing_sumstats[missing, idx] = True
         missing.extend(denylist)
+        cohort_missing.append(missing)
         combined_betas.append(np.array(sumstats.BETA).reshape((1, -1)))
         logging.info('Largest beta is... %f',
                      np.max(np.abs(np.array(sumstats.BETA))))
         combined_errors.append(np.array(sumstats.SE).reshape((1, -1))
                                * stderr_mult[idx])
+
+    # multi-process fits plan the shard-local layout BEFORE loading: a
+    # metadata-only pass over every cohort's schema plans 128-aligned
+    # per-shard spans, so each process factorizes only its own blocks
+    # and every matvec runs collective-free — the same fast program as
+    # single-process --align-layout (parallel/distributed.py)
+    plan = None
+    n_pad = None
+    if multiproc:
+        from vilma_tpu.parallel import distributed
+        specs = list(zip(args.ld_schema.split(','), cohort_missing))
+        plan = distributed.plan_sharded_load(specs, variants,
+                                             mesh.shape['snp'])
+        if plan is None:
+            logging.warning('LD blocks are not contiguous genome ranges; '
+                            'multi-process fit falls back to the global-'
+                            'gather layout.')
+            n_dev = mesh.shape['snp']
+            n_pad = -(-variants.shape[0] // n_dev) * n_dev
+
+    # pass 2: LD per cohort. Cohorts that share an LD panel (same
+    # --ld-schema path) and mask the same variants get ONE loaded matrix:
+    # the engine deduplicates LD inputs by object identity
+    # (engine.ModelData.ld_index), halving both device memory and
+    # per-iteration matvec traffic for the shared case
+    ld_cache = {}
+    for idx, (ld_schema_path, missing) in enumerate(
+            zip(args.ld_schema.split(','), cohort_missing)):
         logging.info('Loading LD for population %d...', idx + 1)
         ld_key = (os.path.realpath(ld_schema_path),
                   tuple(sorted(set(missing))))
@@ -262,7 +288,8 @@ def main(args):
                 ld_schema_path, variants=variants, denylist=missing,
                 ldthresh=args.ldthresh, mmap=args.mmap, dtype=dtype,
                 mesh=mesh, u_dtype=u_dtype,
-                cache_dir=args.factor_cache or None)
+                cache_dir=args.factor_cache or None, plan=plan,
+                n_total=n_pad)
             ld_cache[ld_key] = (ld_mat, this_missing_ld)
         else:
             ld_mat, this_missing_ld = load.load_ld_from_schema(
@@ -290,23 +317,41 @@ def main(args):
             pickle.dump([cross_pop_covs], ofile)
 
     out_index = None
-    if args.precision == 'f32' and not args.align_layout:
+    if multiproc:
+        from vilma_tpu.parallel import alignment
+        args.align_layout = False     # the loader controlled the layout
+        if plan is not None:
+            # LD was loaded directly into shard-local layout coordinates;
+            # bring the per-SNP arrays along (host-side, identical on all
+            # processes) — outputs restore original order via out_index
+            betas = alignment.relayout_rows(betas, plan.layout_map,
+                                            plan.L, fill=0.0)
+            std_errs = alignment.relayout_rows(std_errs, plan.layout_map,
+                                               plan.L, fill=1.0)
+            annotations = alignment.relayout_annotations(
+                annotations, plan.layout_map, plan.L)
+            out_index = plan.layout_map
+        elif n_pad is not None and n_pad > variants.shape[0]:
+            # global-gather fallback: pad the SNP axis with inert slots
+            # (beta 0 / SE 1 / zero annotation rows) so any extract-list
+            # length shards evenly — no user-visible divisibility rule
+            n_var = variants.shape[0]
+            pad = n_pad - n_var
+            betas = np.pad(betas, ((0, 0), (0, pad)))
+            std_errs = np.pad(std_errs, ((0, 0), (0, pad)),
+                              constant_values=1.0)
+            annotations = np.pad(annotations, ((0, pad), (0, 0)))
+            out_index = np.arange(n_var)
+    if args.precision == 'f32' and not args.align_layout and not multiproc:
         # the TPU fast path wants 128-aligned block spans; outputs are
         # unchanged (inert pads, original variant order restored)
         logging.info('Enabling --align-layout for the f32 path.')
         args.align_layout = True
-    if mesh is not None and not args.align_layout:
+    if mesh is not None and not args.align_layout and not multiproc:
         # the shard-local layout is what makes the sharded matvec
         # collective-free (blocks._dot_sharded); outputs are unchanged
         logging.info('Enabling --align-layout for the sharded path.')
         args.align_layout = True
-    if args.align_layout and multiproc:
-        # sharded-loaded LD lives in non-addressable global arrays; the
-        # host-side relayout cannot read them (and the sharded loader
-        # already controls its own layout)
-        logging.warning('--align-layout is not supported with '
-                        'multi-process execution; skipping.')
-        args.align_layout = False
     if args.align_layout:
         from vilma_tpu.parallel import alignment
         n_var = variants.shape[0]

@@ -70,11 +70,63 @@ def _seg_pad(a, b):
     return int(-(-(b - a) // 128) * 128)
 
 
+def entry_intervals(entries):
+    """[(start, stop)] genomic intervals of metadata-pass entries
+    (io/load.matched_schema_entries dicts), or None when any block's kept
+    indices are non-ascending or intervals interleave — the same
+    eligibility rule `_block_intervals` applies to loaded PackedLDs, so
+    multi-process layout planning can run from metadata alone."""
+    out = []
+    for e in entries:
+        ix = np.asarray(e['idx'])
+        if ix.size == 0:
+            continue
+        if ix.size > 1 and not np.all(np.diff(ix) > 0):
+            return None
+        out.append((int(ix[0]), int(ix[-1]) + 1))
+    out.sort()
+    for (a0, b0), (a1, _) in zip(out, out[1:]):
+        if a1 < b0:
+            return None
+    return out
+
+
+def block_span(layout_map, ix):
+    """(span_start, span_len, rel) of one block's layout span.
+
+    The block's kept genome indices `ix` map to layout slots
+    `layout_map[ix]`; its span is the 128-padded contiguous layout range
+    starting at the first slot, and `rel` are the kept rows' offsets
+    within it. Shared by `relayout_ld` and the multi-process shard-local
+    loader (parallel/distributed.py) so both produce identical packings."""
+    new_ix = np.asarray(layout_map)[np.asarray(ix)]
+    span_start = int(new_ix[0])
+    span_len = int(new_ix[-1]) + 1 - span_start
+    span_len = int(-(-span_len // 128) * 128)
+    return span_start, span_len, new_ix - span_start
+
+
 def compute_layout(lds, n, n_shards=1):
-    """Build the genome->layout map.
+    """Build the genome->layout map from loaded PackedLDs.
 
     Returns (layout_map [n] int32, L, ok). ok=False when any cohort has
-    non-contiguous blocks (caller should skip alignment).
+    non-contiguous blocks (caller should skip alignment)."""
+    interval_lists = []
+    for ld in lds:
+        ranges = _block_intervals(ld)
+        if ranges is None:
+            return None, None, False
+        interval_lists.append([(a, b) for a, b, _, _, _ in ranges])
+    return compute_layout_from_intervals(interval_lists, n,
+                                         n_shards=n_shards)
+
+
+def compute_layout_from_intervals(interval_lists, n, n_shards=1):
+    """Build the genome->layout map from per-cohort block intervals.
+
+    interval_lists: one list of (start, stop) pairs per cohort (e.g. from
+    `entry_intervals` on a metadata pass — no LD payloads needed).
+    Returns (layout_map [n] int32, L, ok=True).
 
     With n_shards > 1 the layout is additionally SHARD-LOCAL: L divides
     into n_shards equal 128-multiple spans and no LD block (of any
@@ -87,11 +139,8 @@ def compute_layout(lds, n, n_shards=1):
     span."""
     boundaries = {0, n}
     intervals = []
-    for ld in lds:
-        ranges = _block_intervals(ld)
-        if ranges is None:
-            return None, None, False
-        for a, b, _, _, _ in ranges:
+    for ranges in interval_lists:
+        for a, b in ranges:
             boundaries.add(a)
             boundaries.add(b)
             intervals.append((a, b))
@@ -191,13 +240,9 @@ def relayout_ld(ld, layout_map, L, dtype=None, spill=None,
         # the factor's kept rows scatter to their layout slots; holes
         # (dropped variants inside the window) and pads stay zero rows,
         # which is exactly the "missing for this cohort" semantics
-        new_ix = layout_map[ix]
-        span_start = int(layout_map[a])
-        span_len = int(new_ix[-1]) + 1 - span_start
-        span_len = int(-(-span_len // 128) * 128)
+        span_start, span_len, rel = block_span(layout_map, ix)
         u_span = np.zeros((span_len, f.u.shape[1]), dtype=f.u.dtype)
         d_span = np.zeros(span_len, dtype=f.d.dtype)
-        rel = new_ix - span_start
         u_span[rel] = f.u
         d_span[rel] = f.d
         factor = lowrank.LowRankFactor(u=u_span, s=f.s, d=d_span,

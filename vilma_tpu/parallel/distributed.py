@@ -72,9 +72,209 @@ def _allgather_np(values):
         np.asarray(values)))
 
 
+class ShardedLoadPlan:
+    """Shard-local layout plan for multi-process LD loading.
+
+    Produced by `plan_sharded_load` from a metadata-only pass (identical
+    on every process); consumed by `load_ld_sharded(plan=...)`, which
+    then assembles row-aligned, shard-major PackedLD buckets whose
+    matvecs run collective-free under shard_map — the same fast program
+    as the single-process `--align-layout` path (ops/blocks.pack
+    n_shards contract)."""
+
+    def __init__(self, layout_map, L, n_shards, entries_map):
+        self.layout_map = np.asarray(layout_map, dtype=np.int32)
+        self.L = int(L)
+        self.n_shards = int(n_shards)
+        self._entries = entries_map
+
+    @staticmethod
+    def key(schema_path, denylist):
+        import os
+        return (os.path.realpath(schema_path),
+                tuple(sorted({int(i) for i in denylist})))
+
+    def entries(self, schema_path, denylist):
+        return self._entries[self.key(schema_path, denylist)]
+
+
+def plan_sharded_load(specs, variants, n_shards):
+    """Plan one shard-local layout for a multi-process fit.
+
+    specs: [(schema_path, denylist)] in cohort order. Runs the cheap
+    metadata pass (`load.matched_schema_entries`: .var parsing + variant
+    matching, never an .npy payload) once per unique (schema, denylist)
+    pair, then plans the union layout over all cohorts' block intervals
+    with `alignment.compute_layout_from_intervals(n_shards=...)` — so a
+    real pod fit gets the same collective-free shard-local spans as a
+    single-process `--align-layout` run. Returns a ShardedLoadPlan, or
+    None when any cohort's block intervals interleave in genome order
+    (callers then fall back to the global-gather layout)."""
+    from vilma_tpu.parallel import alignment
+    n = variants.shape[0]
+    entries_map, interval_lists = {}, []
+    for schema_path, denylist in specs:
+        key = ShardedLoadPlan.key(schema_path, denylist)
+        if key not in entries_map:
+            entries_map[key] = list(load_mod.matched_schema_entries(
+                schema_path, variants, denylist))
+        ivals = alignment.entry_intervals(entries_map[key])
+        if ivals is None:
+            return None
+        interval_lists.append(ivals)
+    layout_map, L, ok = alignment.compute_layout_from_intervals(
+        interval_lists, n, n_shards=n_shards)
+    if not ok:
+        return None
+    return ShardedLoadPlan(layout_map, L, n_shards, entries_map)
+
+
+def _load_ld_shard_local(plan, schema_path, variants, denylist, ldthresh,
+                         dtype, mmap, mesh, axis, u_dtype, cache_dir):
+    """Shard-local multi-process load: every process factorizes only the
+    blocks whose layout spans land on its own mesh shards, and the
+    assembled buckets satisfy the ops/blocks.pack(n_shards=...) contract
+    (row-aligned spans, shard-major rows, shard-local grows/srows) — so
+    `dot`/`dot_multi` run as one collective-free shard_map exactly as in
+    single-process shard-local fits. Block independence anchor: reference
+    matrix_structures.py:389-408."""
+    from vilma_tpu.parallel import alignment
+    from vilma_tpu.ops.blocks import _pad_to_tier as pad_to_tier
+
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    n_shards = plan.n_shards
+    if mesh.shape[axis] != n_shards:
+        raise ValueError(f'the plan was built for {n_shards} shards but '
+                         f'the {axis} mesh axis has {mesh.shape[axis]} '
+                         'devices')
+    if n_shards % nproc:
+        raise ValueError(f'{axis} mesh axis ({n_shards}) must be '
+                         f'divisible by the process count ({nproc})')
+    spp = n_shards // nproc
+    shard_rows = plan.L // n_shards
+
+    entries = plan.entries(schema_path, denylist)
+    total_flipped = sum(e['num_flipped'] for e in entries)
+    if mmap:
+        for _ in entries:
+            consume_mmap_rng_draws()
+
+    # per-entry span metadata — identical on every process
+    metas = []
+    seq_pos = 0
+    for pos, e in enumerate(entries):
+        start, length, rel = alignment.block_span(plan.layout_map,
+                                                  e['idx'])
+        metas.append({'pos': pos, 'entry': e, 'start': start,
+                      'length': length, 'rel': rel,
+                      'shard': start // shard_rows, 'seq': seq_pos})
+        seq_pos += length
+    tiers = {}
+    for m in metas:
+        tiers.setdefault(pad_to_tier(m['length']), []).append(m)
+
+    # factorize ONLY this process's shards (the O(n^3) dominant cost)
+    local_factors = {}
+    for m in metas:
+        if pid * spp <= m['shard'] < (pid + 1) * spp:
+            local_factors[m['pos']] = load_mod.load_entry_factor(
+                m['entry'], ldthresh, cache_dir=cache_dir)
+
+    # global rank agreement: one tiny allgather (ranks are unknowable
+    # from metadata), exactly as the global-gather loader does
+    tier_keys = sorted(tiers)
+    local_rmax = np.array([
+        max((local_factors[m['pos']].r for m in tiers[t]
+             if m['pos'] in local_factors), default=1)
+        for t in tier_keys], dtype=np.int64)
+    local_rank = np.array([sum(f.rank for f in local_factors.values())],
+                          dtype=np.float64)
+    all_rmax = _allgather_np(local_rmax)
+    all_rank = _allgather_np(local_rank)
+    tier_rmax = [_pad_rank(int(r)) for r in all_rmax.max(axis=0)]
+    rank = float(all_rank.sum())
+
+    L = plan.L
+    buckets = []
+    for pmax, rmax in zip(tier_keys, tier_rmax):
+        per_shard = [[] for _ in range(n_shards)]
+        for m in tiers[pmax]:
+            per_shard[m['shard']].append(m)
+        rows_per_shard = max(max(len(p) for p in per_shard), 1)
+        B_local = spp * rows_per_shard
+        rpb = pmax // 128      # spans are 128-multiples, so pmax >= 128
+        u = np.zeros((B_local, pmax, rmax), dtype=u_dtype)
+        s = np.zeros((B_local, rmax), dtype=dtype)
+        inv_s = np.zeros((B_local, rmax), dtype=dtype)
+        d = np.zeros((B_local, pmax), dtype=dtype)
+        perm = np.full((B_local, pmax), L, dtype=np.int32)
+        seq = np.full((B_local, pmax), L, dtype=np.int32)
+        grows = np.zeros((B_local, rpb), dtype=np.int32)
+        srows = np.full((B_local, rpb), -1, dtype=np.int32)
+        for shard in range(pid * spp, (pid + 1) * spp):
+            for k, m in enumerate(per_shard[shard]):
+                row = (shard - pid * spp) * rows_per_shard + k
+                f = local_factors[m['pos']]
+                # kept rows scatter into their span slots; holes/pads
+                # stay zero rows (alignment.relayout_ld semantics)
+                u[row, m['rel'], :f.r] = f.u
+                s[row, :f.r] = f.s
+                with np.errstate(divide='ignore'):
+                    inv_s[row, :f.r] = np.where(
+                        f.s > 0, 1.0 / np.where(f.s > 0, f.s, 1.0), 0.0)
+                d[row, m['rel']] = f.d
+                perm[row, :m['length']] = np.arange(
+                    m['start'], m['start'] + m['length'], dtype=np.int32)
+                seq[row, :m['length']] = np.arange(
+                    m['seq'], m['seq'] + m['length'], dtype=np.int32)
+                r0 = (m['start'] - shard * shard_rows) // 128
+                grows[row] = r0 + np.arange(rpb)
+                live = m['length'] // 128
+                srows[row, :live] = r0 + np.arange(live)
+                srows[row, live:] = -1
+
+        def put(local, extra_dims):
+            spec = P(*((axis,) + (None,) * extra_dims))
+            return jax.make_array_from_process_local_data(
+                NamedSharding(mesh, spec), local)
+
+        buckets.append(BlockBucket(
+            u=put(u, 2), s=put(s, 1), inv_s=put(inv_s, 1), d=put(d, 1),
+            perm=put(perm, 1), grows=put(grows, 1), srows=put(srows, 1),
+            seq=put(seq, 1)))
+
+    covered = np.zeros(L, dtype=bool)
+    for m in metas:
+        covered[m['start']:m['start'] + m['length']] = True
+    missing = tuple(np.flatnonzero(~covered).tolist())
+
+    # LD-missing variants in ORIGINAL coordinates (for the estimates.tsv
+    # missing_LD columns), matching the pre-relayout loader's return
+    n_var = variants.shape[0]
+    covered_orig = (np.concatenate([e['idx'] for e in entries])
+                    if entries else np.array([], dtype=np.int64))
+    missing_orig = sorted(set(range(n_var)) - set(covered_orig.tolist()))
+
+    logging.info('process %d/%d: %d of %d LD blocks factorized locally '
+                 '(shard-local layout: %d slots, %d shards)',
+                 pid, nproc, len(local_factors), len(entries), L,
+                 n_shards)
+    logging.warning('%d variants have no LD information and will be '
+                    'treated as missing during optimization.',
+                    len(missing_orig))
+    logging.warning('Allele order flipped for %d variants while matching '
+                    'LD blocks.', total_flipped)
+    packed = PackedLD(buckets=tuple(buckets), n=L, inverted=False,
+                      has_diag=False, rank=rank, missing=missing,
+                      row_aligned=True, shard_count=n_shards)
+    return packed, missing_orig
+
+
 def load_ld_sharded(schema_path, variants, denylist, ldthresh,
                     dtype=np.float64, mmap=False, mesh=None,
-                    axis='snp', u_dtype=None, cache_dir=None):
+                    axis='snp', u_dtype=None, cache_dir=None,
+                    plan=None, n_total=None):
     """Load an LD schema with per-process block ownership (see module
     docstring). Returns (PackedLD with globally-sharded buckets, list of
     variant positions missing LD info).
@@ -83,9 +283,23 @@ def load_ld_sharded(schema_path, variants, denylist, ldthresh,
     load.py:237-354) exactly — same variant matching, allele flips,
     missing set, and factorization thresholds — with the work and the
     memory of the factor tensors distributed across processes.
+
+    plan: optional ShardedLoadPlan (from `plan_sharded_load`); the load
+    then produces a shard-local row-aligned PackedLD in layout
+    coordinates, whose matvecs are collective-free under the mesh.
+    n_total: optional padded variant count for the global-gather
+    fallback — slots past len(variants) become `missing` (inert), so
+    arbitrary extract lists shard evenly without a user-visible
+    divisibility requirement.
     """
     if u_dtype is None:
         u_dtype = dtype
+    if plan is not None:
+        if mesh is None:
+            raise ValueError('a shard-local plan needs the device mesh')
+        return _load_ld_shard_local(plan, schema_path, variants, denylist,
+                                    ldthresh, dtype, mmap, mesh, axis,
+                                    u_dtype, cache_dir)
     if jax.process_count() == 1 and mesh is None:
         return load_mod.load_ld_from_schema(schema_path, variants,
                                             denylist, ldthresh,
@@ -111,10 +325,14 @@ def load_ld_sharded(schema_path, variants, denylist, ldthresh,
             consume_mmap_rng_draws()
     sizes = [len(e['idx']) for e in entries]
     seq_starts = np.concatenate([[0], np.cumsum(sizes)])
-    n = variants.shape[0]
+    n_var = variants.shape[0]
+    # n_total > n_var pads the SNP axis with inert missing slots so any
+    # extract-list length shards evenly over the mesh
+    n = int(n_total) if n_total is not None else n_var
     covered = (np.concatenate([e['idx'] for e in entries])
                if entries else np.array([], dtype=np.int64))
     missing = tuple(sorted(set(range(n)) - set(covered.tolist())))
+    missing_orig = [i for i in missing if i < n_var]
 
     # bucket composition from sizes alone: tier -> entry positions in
     # manifest order (rank padding is resolved by the allgather below)
@@ -191,7 +409,7 @@ def load_ld_sharded(schema_path, variants, denylist, ldthresh,
     packed = PackedLD(buckets=tuple(buckets), n=n, inverted=False,
                       has_diag=False, rank=rank, missing=missing,
                       row_aligned=False)
-    return packed, list(missing)
+    return packed, missing_orig
 
 
 def initialize(coordinator_address=None, num_processes=None,
