@@ -42,9 +42,22 @@ elif _SIZE == '1m':
     NUM_LOCI = 1_000_000
 else:
     NUM_LOCI = 100_000
-METRIC = (f'vi_iterations_per_s_{_SIZE if _SIZE in ("1m", "6m") else "100k"}'
-          f'_snp_{NUM_POPS}pop_K18')
+# BENCH_SCALE_SE=1 runs the --learn-scaling configuration: the compact
+# per-component [K, P, I] natural-mean state with the error-scaling EM
+# (engine._update_error_scaling_compact)
+SCALE_SE = os.environ.get('BENCH_SCALE_SE', '0') == '1'
+# BENCH_GRID=cli replaces the K=18 synthetic component ladder with the
+# PRODUCTION mixture grid the CLI builds (mixture.make_simple: a
+# 2-cohort -K 12 fit crosses variances x correlations x rescalings into
+# ~580 components — reference vi_options.py:301-337); BENCH_GRID_K
+# overrides the -K value (default 12)
+GRID = os.environ.get('BENCH_GRID', '')
+GRID_K = int(os.environ.get('BENCH_GRID_K', '12'))
 NUM_COMPONENTS = 18
+_KTAG = 'K18' if GRID != 'cli' else f'cligrid{GRID_K}'
+METRIC = (f'vi_iterations_per_s_{_SIZE if _SIZE in ("1m", "6m") else "100k"}'
+          f'_snp_{NUM_POPS}pop_{_KTAG}'
+          + ('_scale_se' if SCALE_SE else ''))
 BLOCK_SIZE = 1024
 RANK_FRAC = 0.5
 N_STEPS = 5
@@ -213,6 +226,28 @@ def _cached_ld(dtype):
     return ld
 
 
+def _make_covs(rng, P, betas, std_errs):
+    """Mixture components: the K=18 synthetic ladder, or — BENCH_GRID=cli
+    — the production covariance grid the `fit` CLI builds."""
+    if GRID == 'cli':
+        from vilma_tpu.models import mixture
+        np.random.seed(42)       # make_simple draws from the global RNG
+        mins, maxes = mixture.effect_size_ranges(betas, std_errs, False)
+        covs = mixture.make_simple(P, GRID_K, mins, maxes)
+        print(f'BENCH_GRID=cli: {len(covs)} mixture components '
+              f'(-K {GRID_K}, {P} cohorts)', flush=True)
+        return covs
+    scales = np.exp(np.linspace(np.log(1e-6), np.log(1e-2),
+                                NUM_COMPONENTS))
+    covs = []
+    for k in range(NUM_COMPONENTS):
+        a = rng.standard_normal((P, P))
+        corr = 0.3 * (a @ a.T) + P * np.eye(P)
+        d = 1 / np.sqrt(np.diag(corr))
+        covs.append(scales[k] * (corr * np.outer(d, d)))
+    return covs
+
+
 def _build(dtype, device):
     import jax
     from vilma_tpu.inference import engine
@@ -224,14 +259,7 @@ def _build(dtype, device):
         P = NUM_POPS
         std_errs = rng.uniform(0.01, 0.05, (P, NUM_LOCI))
         betas = rng.standard_normal((P, NUM_LOCI)) * std_errs * 2
-        scales = np.exp(np.linspace(np.log(1e-6), np.log(1e-2),
-                                    NUM_COMPONENTS))
-        covs = []
-        for k in range(NUM_COMPONENTS):
-            a = rng.standard_normal((P, P))
-            corr = 0.3 * (a @ a.T) + P * np.eye(P)
-            d = 1 / np.sqrt(np.diag(corr))
-            covs.append(scales[k] * (corr * np.outer(d, d)))
+        covs = _make_covs(rng, P, betas, std_errs)
         annotations = np.zeros((NUM_LOCI, 4))
         annotations[np.arange(NUM_LOCI),
                     rng.integers(0, 4, NUM_LOCI)] = 1
@@ -242,7 +270,7 @@ def _build(dtype, device):
     with jax.default_device(device):
         data = engine.build_model_data(
             betas.astype(dtype), std_errs.astype(dtype), [ld] * P,
-            annotations, covs, scaled=False, scale_se=False,
+            annotations, covs, scaled=False, scale_se=SCALE_SE,
             gwas_N=np.full(P, 1e5), init_hg=np.full(P, 0.3), dtype=dtype)
         state = synthetic.synthetic_state(data, compact=True)
     data = jax.device_put(data, device)
@@ -415,14 +443,7 @@ def _build_mesh(dtype, n_shards):
     P = NUM_POPS
     std_errs = rng.uniform(0.01, 0.05, (P, NUM_LOCI))
     betas = rng.standard_normal((P, NUM_LOCI)) * std_errs * 2
-    scales = np.exp(np.linspace(np.log(1e-6), np.log(1e-2),
-                                NUM_COMPONENTS))
-    covs = []
-    for k in range(NUM_COMPONENTS):
-        a = rng.standard_normal((P, P))
-        corr = 0.3 * (a @ a.T) + P * np.eye(P)
-        d = 1 / np.sqrt(np.diag(corr))
-        covs.append(scales[k] * (corr * np.outer(d, d)))
+    covs = _make_covs(rng, P, betas, std_errs)
     annotations = np.zeros((NUM_LOCI, 4))
     annotations[np.arange(NUM_LOCI), rng.integers(0, 4, NUM_LOCI)] = 1
 
@@ -438,7 +459,7 @@ def _build_mesh(dtype, n_shards):
     with jax.set_mesh(mesh):
         data = engine.build_model_data(
             betas.astype(dtype), std_errs.astype(dtype), [lds] * P,
-            annotations, covs, scaled=False, scale_se=False,
+            annotations, covs, scaled=False, scale_se=SCALE_SE,
             gwas_N=np.full(P, 1e5), init_hg=np.full(P, 0.3), dtype=dtype)
         state = synthetic.synthetic_state(data, compact=True)
         data = mesh_mod.shard_data(data, mesh)

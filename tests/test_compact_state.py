@@ -46,7 +46,9 @@ def test_compact_trajectory_matches_materialized(num_pops):
                        rtol=1e-10, atol=1e-13)
 
 
-def test_compact_rejects_scale_se():
+def test_compact_scale_se_needs_k_state():
+    """A scale_se fit stepped with a SHARED [P, I] natural mean is a
+    representation bug (the EM makes natural means K-dependent)."""
     data = synthetic.synthetic_problem(num_loci=64, num_pops=1,
                                        num_components=2, block_size=16,
                                        scale_se=True)
@@ -54,6 +56,47 @@ def test_compact_rejects_scale_se():
     st = dataclasses.replace(st, nat_mu=np.zeros((1, 64)))
     with pytest.raises(ValueError, match='scale_se'):
         engine.outer_step_impl(data, st, line_search_rate=2.0)
+
+
+@pytest.mark.parametrize('num_pops', [1, 2, 3])
+def test_compact_scale_se_trajectory_matches_materialized(num_pops):
+    """The per-component [K, P, I] compact state reproduces the
+    materialized scale_se trajectory exactly — ACROSS error-scaling EM
+    events (the re-basing identity in _update_error_scaling_compact)."""
+    data, st_c, st_l = _pair(num_pops=num_pops, scale_se=True)
+    assert st_c.nat_mu.ndim == 3
+    em_at = None
+    for it in range(40):
+        st_c, pm_c = engine.outer_step(data, st_c, line_search_rate=2.0)
+        st_l, pm_l = engine.outer_step(data, st_l, line_search_rate=2.0)
+        assert np.allclose(np.asarray(pm_c), np.asarray(pm_l),
+                           rtol=1e-10, atol=1e-13)
+        assert np.isclose(float(st_c.elbo), float(st_l.elbo), rtol=1e-10)
+        assert np.allclose(np.asarray(st_c.error_scaling),
+                           np.asarray(st_l.error_scaling), rtol=1e-10)
+        if em_at is None and not np.allclose(
+                np.asarray(st_c.error_scaling), 1.0):
+            em_at = it
+        if em_at is not None and it >= em_at + 3:
+            break        # a few post-EM steps covered too
+    # the EM must actually have fired for this test to mean anything
+    assert em_at is not None
+    m_c = engine.materialize_state(data, st_c)
+    assert np.allclose(np.asarray(m_c.vi_mu), np.asarray(st_l.vi_mu),
+                       rtol=1e-9, atol=1e-12)
+    assert np.allclose(np.asarray(m_c.vi_delta),
+                       np.asarray(st_l.vi_delta), rtol=1e-9, atol=1e-12)
+
+
+def test_compact_nat_mu_k_roundtrip():
+    """compact_nat_mu_k (scale_se checkpoint resume) inverts
+    materialization for the per-component state."""
+    data, st_c, _ = _pair(scale_se=True)
+    mat = engine.materialize_state(data, st_c)
+    nat = np.asarray(engine.compact_nat_mu_k(data, mat.error_scaling,
+                                             mat.vi_mu))
+    assert np.allclose(nat, np.asarray(st_c.nat_mu), rtol=1e-10,
+                       atol=1e-13)
 
 
 def test_compact_nat_mu_roundtrip():

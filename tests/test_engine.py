@@ -241,7 +241,9 @@ def test_hyper_delta_update_closed_form():
 def test_error_scaling_update_formula():
     np.random.seed(42)
     scheme = make_scheme(scale_se=True)
-    st = scheme._initialize()
+    # the scheme initializes the compact [K, P, I] state; this test
+    # validates the MATERIALIZED EM formula, so materialize first
+    st = engine.materialize_state(scheme.data, scheme._initialize())
     obj0, pm, lk = engine._beta_objective_terms(
         scheme.data, st.sigma, st.error_scaling, st.vi_mu, st.vi_delta,
         st.hyper_delta)

@@ -1,0 +1,140 @@
+"""Multi-trait fits (`fit --trait`).
+
+The reference declares --trait and raises NotImplementedError
+(reference vi_options.py:70-73,134-135). This framework implements it:
+T traits measured on one cohort share a single LD panel, and inference
+runs the multi-population machinery with the trait axis in place of the
+population axis. These tests pin (1) exact equivalence with the
+explicit shared-panel spelling, and (2) end-to-end signal recovery on a
+simulated two-trait study.
+"""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+
+
+def _schema(tmp_path, sizes, seed=0):
+    rng = np.random.default_rng(seed)
+    root = str(tmp_path / 'trait_schema')
+    rows, ids = [], []
+    start = 0
+    for b, size in enumerate(sizes):
+        idx = np.abs(np.subtract.outer(np.arange(size), np.arange(size)))
+        np.save(f'{root}_{b}.npy', rng.uniform(0.4, 0.8) ** idx)
+        with open(f'{root}_{b}.var', 'w') as fh:
+            for i in range(size):
+                name = f'snp{b}_{i}'
+                ids.append(name)
+                fh.write(f'{name}\t1\t{start + i + 1}\t0\tA\tT\n')
+        rows.append(f'{root}_{b}.var\t{root}_{b}.npy')
+        start += size
+    with open(root + '.schema', 'w') as fh:
+        fh.write('\n'.join(rows) + '\n')
+    with open(root + '.extract', 'w') as fh:
+        fh.write('ID\tA1\tA2\n')
+        fh.write(''.join(f'{name}\tA\tT\n' for name in ids))
+    return root, ids
+
+
+def _env(tmp_path):
+    env = dict(os.environ)
+    env['PYTHONPATH'] = (os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))) + os.pathsep
+        + env.get('PYTHONPATH', ''))
+    env['JAX_PLATFORMS'] = 'cpu'
+    return env
+
+
+def _run(args, env):
+    r = subprocess.run([sys.executable, '-m', 'vilma_tpu.frontend']
+                       + args, env=env, capture_output=True, text=True,
+                       timeout=600)
+    assert r.returncode == 0, (r.stdout[-1000:], r.stderr[-3000:])
+    return r
+
+
+def _write_sumstats(path, ids, betas, ses):
+    pd.DataFrame({'ID': ids, 'A1': 'A', 'A2': 'T', 'BETA': betas,
+                  'SE': ses}).to_csv(path, sep='\t', index=False)
+
+
+def test_trait_equals_explicit_shared_panel(tmp_path):
+    """`--trait` with ONE schema == the explicit schema,schema spelling
+    (same seeds, same machinery) — outputs must match exactly."""
+    root, ids = _schema(tmp_path, [48, 48])
+    n = len(ids)
+    rng = np.random.default_rng(3)
+    for t in (1, 2):
+        se = rng.uniform(0.02, 0.06, n)
+        _write_sumstats(str(tmp_path / f'trait{t}.tsv'), ids,
+                        rng.standard_normal(n) * se * 2, se)
+    env = _env(tmp_path)
+    common = ['--sumstats',
+              f'{tmp_path}/trait1.tsv,{tmp_path}/trait2.tsv',
+              '--extract', root + '.extract', '-K', '2',
+              '--num-its', '4', '--seed', '7',
+              '--samplesizes', '100e3,100e3', '--init-hg', '0.1,0.1',
+              '--stderrscale', '1.0,1.0']
+    _run(['fit', '--trait', '--ld-schema', root + '.schema',
+          '--output', str(tmp_path / 'trait_run')] + common, env)
+    _run(['fit', '--ld-schema', f'{root}.schema,{root}.schema',
+          '--output', str(tmp_path / 'pop_run')] + common, env)
+    a = pd.read_csv(str(tmp_path / 'trait_run.estimates.tsv'), sep='\t')
+    b = pd.read_csv(str(tmp_path / 'pop_run.estimates.tsv'), sep='\t')
+    assert list(a.columns) == list(b.columns)
+    for col in a.columns:
+        if a[col].dtype.kind in 'fc':
+            assert np.allclose(a[col], b[col], rtol=0, atol=0), col
+        else:
+            assert (a[col] == b[col]).all(), col
+
+
+def test_trait_recovers_simulated_signal(tmp_path):
+    """End-to-end two-trait study: simulate correlated true effects with
+    `sim` (shared LD panel), fit with --trait, and require the posterior
+    means to beat the raw GWAS estimates at recovering true effects."""
+    import pickle
+    root, ids = _schema(tmp_path, [64, 64], seed=4)
+    n = len(ids)
+    rng = np.random.default_rng(5)
+    # sumstats files define the SEs the simulator uses
+    for t in (1, 2):
+        se = rng.uniform(0.01, 0.02, n)
+        _write_sumstats(str(tmp_path / f'in{t}.tsv'), ids,
+                        np.zeros(n), se)
+    # two-component prior: a null spike + a correlated-across-traits slab
+    covs = [np.eye(2) * 1e-8,
+            np.array([[4e-3, 3e-3], [3e-3, 4e-3]])]
+    with open(str(tmp_path / 'covs.pkl'), 'wb') as fh:
+        pickle.dump([covs], fh)
+    np.save(str(tmp_path / 'weights.npy'), np.array([[0.7, 0.3]]))
+    env = _env(tmp_path)
+    _run(['sim', '--sumstats', f'{tmp_path}/in1.tsv,{tmp_path}/in2.tsv',
+          '--covariance', str(tmp_path / 'covs.pkl'),
+          '--weights', str(tmp_path / 'weights.npy'),
+          '--ld-schema', f'{root}.schema,{root}.schema',
+          '--output', str(tmp_path / 'simrun'), '--names', 't1,t2',
+          '--seed', '11'], env)
+    sim1 = pd.read_csv(str(tmp_path / 'simrun.t1.simgwas.tsv'), sep='\t')
+    sim2 = pd.read_csv(str(tmp_path / 'simrun.t2.simgwas.tsv'), sep='\t')
+    _run(['fit', '--trait', '--ld-schema', root + '.schema',
+          '--sumstats',
+          f'{tmp_path}/simrun.t1.simgwas.tsv,'
+          f'{tmp_path}/simrun.t2.simgwas.tsv',
+          '--extract', root + '.extract', '-K', '4', '--num-its', '40',
+          '--seed', '7', '--samplesizes', '100e3,100e3',
+          '--init-hg', '0.4,0.4', '--stderrscale', '1.0,1.0',
+          '--output', str(tmp_path / 'fit_run')], env)
+    est = pd.read_csv(str(tmp_path / 'fit_run.estimates.tsv'), sep='\t')
+    for t, sim in (('0', sim1), ('1', sim2)):
+        truth = sim.true_beta.to_numpy()
+        raw = sim.BETA.to_numpy()
+        post = est['posterior_' + t].to_numpy()
+        mse_raw = np.mean((raw - truth) ** 2)
+        mse_post = np.mean((post - truth) ** 2)
+        assert mse_post < mse_raw, (t, mse_post, mse_raw)
+        corr = np.corrcoef(post, truth)[0, 1]
+        assert corr > 0.5, (t, corr)

@@ -80,8 +80,15 @@ def args(super_parser):
                              'guesses used for initialization.')
     parser.add_argument('--trait', dest='trait', action='store_true',
                         help='Treat sumstats files as different traits '
-                             'instead of populations. Currently '
-                             'unimplemented.')
+                             'measured on one cohort instead of one '
+                             'trait across cohorts: all traits share a '
+                             'single LD panel (pass one --ld-schema) '
+                             'and the mixture prior becomes a grid of '
+                             'cross-TRAIT effect covariances. The '
+                             'reference declared this flag but never '
+                             'implemented it (vi_options.py:70-73,'
+                             '134-135); here it is a supported '
+                             'capability.')
     parser.add_argument('--checkpoint-freq', type=int, default=-1,
                         help='Store the model every this many iterations. '
                              'Defaults to no checkpointing.')
@@ -141,6 +148,17 @@ def args(super_parser):
                              'an accelerator (measured 2.4x per outer '
                              'iteration at 1M SNPs; see PARITY.md '
                              'round-3 findings).')
+    parser.add_argument('--no-save-vi-sigma', dest='save_vi_sigma',
+                        action='store_false',
+                        help='Skip the vi_sigma array in the output '
+                             '.npz. The materialized [K, P, P, I] '
+                             'covariances are output-only (never used '
+                             'in compute) and dominate the file at '
+                             'genome scale with production mixture '
+                             'grids (~19 GB at 1M SNPs / ~112 GB at 6M '
+                             'for a 2-cohort -K 12 grid); posterior '
+                             'means/variances and all checkpoint-resume '
+                             'keys are unaffected.')
     parser.add_argument('--align-layout', dest='align_layout',
                         action='store_true',
                         help='Relayout the problem so LD blocks occupy '
@@ -164,7 +182,21 @@ def main(args):
         raise ValueError('Either need to input one ld_schema or provide a '
                          'sumstats file for each ld_schema.')
     if args.trait:
-        raise NotImplementedError('--trait has not been implemented yet.')
+        # multi-trait mode (a capability the reference declared but never
+        # shipped, vi_options.py:70-73): T traits measured on ONE cohort
+        # share a single LD panel, and the inference runs the exact
+        # multi-population machinery with the trait axis in place of the
+        # population axis — the engine's identity dedup
+        # (engine.ModelData.ld_index) keeps one copy of the shared panel
+        # in device memory and one matvec pass per objective evaluation
+        # (blocks.dot_multi).
+        n_schemas = args.ld_schema.count(',') + 1
+        n_traits = args.sumstats.count(',') + 1
+        if n_schemas == 1 and n_traits > 1:
+            args.ld_schema = ','.join([args.ld_schema] * n_traits)
+        elif n_schemas != n_traits:
+            raise ValueError('--trait needs one shared --ld-schema (or '
+                             'one per trait).')
 
     num_pops = args.sumstats.count(',') + 1
     names = list(map(str, range(num_pops)))
@@ -428,12 +460,26 @@ def main(args):
     # every rank must run these (they all-gather sharded arrays in
     # multi-host runs); only the file writes belong to rank 0
     to_save = elbo.create_dump_dict(state)
-    to_save['vi_sigma'] = elbo.vi_sigma
     posterior_means = elbo.real_posterior_mean(state)
     posterior_vars = elbo.real_posterior_variance(state)
+    # vi_sigma streams into the .npz in bounded component chunks (it is
+    # the one output whose full materialization does not fit host RAM at
+    # genome scale with production grids — engine.vi_sigma_chunks)
+    streamed = []
+    if args.save_vi_sigma:
+        dtype_out = np.dtype(np.asarray(to_save['vi_mu']).dtype)
+        streamed = [('vi_sigma',
+                     (elbo.num_mix, elbo.num_pops, elbo.num_pops,
+                      elbo.num_loci), dtype_out, elbo.vi_sigma_chunks())]
     if jax.process_index() != 0:
-        return      # multi-host: rank 0 owns the output files
-    np.savez(args.output, **to_save)
+        # multi-host: every rank joins the chunk computes (each fetch
+        # all-gathers); rank 0 alone writes the files
+        if args.save_vi_sigma:
+            for _ in elbo.vi_sigma_chunks():
+                pass
+        return
+    from vilma_tpu.utils.npz_stream import save_npz_stream
+    save_npz_stream(args.output, to_save, streamed)
 
     for name, posterior in zip(names, posterior_means):
         variants['posterior_' + name] = posterior

@@ -92,20 +92,25 @@ class VIState:
     Two representations share this class:
 
     * MATERIALIZED (`nat_mu is None`): vi_mu/vi_delta/nat_grad_vi_delta/
-      sigma hold the full per-SNP arrays — the general path, required for
-      `scale_se` fits (the error-scaling EM makes the natural means
-      genuinely K-dependent, see `_outer_step_compact`).
+      sigma hold the full per-SNP arrays — the general path, used when
+      the closed-form sigma algebra does not cover P (P >= 4).
     * COMPACT (`nat_mu` set, the big fields None): the whole beta family
-      is carried as ONE [P, I] natural mean. The natural gradient is
+      is carried as its natural mean(s). The natural gradient is
       constant in K (reference variational_inference.py:804-823 broadcasts
-      a [P, I] residual), and every update mixes natural means with
-      K-constant steps, so vi_mu[k] == vi_sigma[k] @ nat_mu for one shared
-      nat_mu throughout the trajectory; vi_delta and every vi_sigma
+      a [P, I] residual), and every update between error-scaling EM
+      events mixes natural means with K-constant steps, so for
+      non-scale_se fits vi_mu[k] == vi_sigma[k] @ nat_mu for ONE shared
+      [P, I] nat_mu throughout the trajectory. scale_se fits carry a
+      per-component [K, P, I] nat_mu instead: each EM event re-bases it
+      under the new scaling ((prec_k + d_new) @ sigma_old_k @ nat_k, see
+      `_update_error_scaling_compact`), which is k-dependent but still
+      one closed-form pass. Either way vi_delta and every vi_sigma
       summary are closed forms of (nat_mu, hyper_delta, error_scaling).
       Deriving them lazily inside each fused evaluation cuts per-iteration
-      HBM traffic from O(K*P*I) to O(P*I) — measured 40.3 GB -> a few GB
-      per outer step at I=1M, K=18, where the chip was already running at
-      ~763 GB/s effective (profiled; the matvec itself was only 2.1 GB).
+      HBM traffic from O(K*P*I) state reads/writes per pass to O(P*I)
+      (non-scale_se; measured 40.3 GB -> a few GB per outer step at
+      I=1M, K=18) or one [K, P, I] stream (scale_se), with no [K, I]
+      sigma summaries ever stored.
     """
     vi_mu: jnp.ndarray            # [K, P, I] (None in compact mode)
     vi_delta: jnp.ndarray         # [K, I] (K-major; the reference's
@@ -471,15 +476,22 @@ def _update_error_scaling(data, st, orig_obj, post_means, linked):
 
 # ---------------------------------------------------------------------------
 # Compact-representation step (see the VIState docstring). Every [K, *, I]
-# quantity is re-derived from the [P, I] natural mean inside the consuming
-# fusion, so the per-iteration HBM traffic is O(P*I) plus the LD pass.
-#
-# Not valid for scale_se fits: the error-scaling EM recomputes vi_delta
-# from the OLD vi_mu under the NEW scaling
-# (variational_inference.py:735-738), which injects genuine K-dependence
-# into subsequent natural means ((prec_k + d_new) @ sigma_k^{old} @ m is
-# not constant in k); those fits use the materialized path.
+# quantity is re-derived from the natural mean(s) inside the consuming
+# fusion, so the per-iteration HBM traffic is O(P*I) plus the LD pass
+# (plus one [K, P, I] stream per evaluation for scale_se fits, whose
+# error-scaling EM makes the natural means K-dependent — see
+# _update_error_scaling_compact for the exact re-basing identity).
 # ---------------------------------------------------------------------------
+
+def _nat_k(data, nat_mu):
+    """A compact natural mean as [K, P, I]: the shared [P, I] state
+    broadcasts; the scale_se per-component [K, P, I] state passes
+    through (see sigma._nat_row)."""
+    if nat_mu.ndim == 2:
+        K = data.mixture_prec.shape[0]
+        return jnp.broadcast_to(nat_mu[None], (K,) + nat_mu.shape)
+    return nat_mu
+
 
 def _derive_params(data, error_scaling, nat_mu, hyper_delta):
     """(sigma, vi_mu [K,P,I], vi_delta [K,I]) derived from the compact
@@ -489,8 +501,7 @@ def _derive_params(data, error_scaling, nat_mu, hyper_delta):
                                      dterm)
     nat_vd = kernels.fast_vi_delta_grad(hyper_delta, data.log_det,
                                         data.annotations)
-    K = data.mixture_prec.shape[0]
-    nat_b = jnp.broadcast_to(nat_mu[None], (K,) + nat_mu.shape)
+    nat_b = _nat_k(data, nat_mu)
     vi_mu = sigma_mod.apply_sigma(data.mixture_prec, dterm, nat_b)
     vi_delta = kernels.fast_invert_nat_vi_delta(
         vi_mu, nat_b, sigma.log_det_sigma, nat_vd)
@@ -569,7 +580,10 @@ def _objective_compact(data, st, nat_mu, hyper_delta):
     632-641, 868-885), identical up to float reassociation.
     """
     use_pk, interp = blocks_mod.pallas_flags()
-    if use_pk and (interp or _prologue_supported(data, nat_mu)):
+    # the fused Mosaic prologue streams the SHARED [P, I] natural mean;
+    # the scale_se [K, P, I] state takes the XLA closed-form route below
+    if use_pk and nat_mu.ndim == 2 and (
+            interp or _prologue_supported(data, nat_mu)):
         post_means, post_vars, beta_kl = _prologue_fused(
             data, st.error_scaling, nat_mu, hyper_delta, interp)
         scaled_mu, linked_ests = _ld_scaled_dot(data, post_means)
@@ -714,7 +728,8 @@ def _update_hyper_delta_compact(data, st, orig_obj):
     new nat_grad_vi_delta is implied by the new hyper_delta."""
     eps = epsilon(st.nat_mu.dtype)
     use_pk, interp = blocks_mod.pallas_flags()
-    if use_pk and (interp or _prologue_supported(data, st.nat_mu)):
+    if use_pk and st.nat_mu.ndim == 2 and (
+            interp or _prologue_supported(data, st.nat_mu)):
         new_hd = _delta_sums_fused(data, st.error_scaling, st.nat_mu,
                                    st.hyper_delta, interp)
     else:
@@ -730,12 +745,58 @@ def _update_hyper_delta_compact(data, st, orig_obj):
     return st, new_obj - orig_obj, new_obj, pm, lk
 
 
+def _update_error_scaling_compact(data, st, orig_obj, post_means, linked):
+    """Compact twin of `_update_error_scaling` for scale_se fits.
+
+    The EM event is the one update whose natural means do NOT stay
+    K-constant: the reference keeps vi_mu fixed while refreshing sigma
+    and vi_delta under the new scaling (variational_inference.py:
+    472-486,735-738), so the post-EM natural parameters are
+    nat'_k = (prec_k + d_new) @ vi_mu_k = (prec_k + d_new) @
+    sigma_old_k @ nat_k — genuinely k-dependent. The compact scale_se
+    state therefore carries a [K, P, I] natural mean (sigma._nat_row);
+    between EM events every update mixes it with K-constant gradients,
+    and each EM event re-bases it with one closed-form sigma
+    application. All derived quantities (vi_mu, vi_delta, the ELBO)
+    remain exactly the reference trajectory's
+    (tests/test_reference_parity.py pins this end to end)."""
+    dterm_old = _diag_term(data, st.error_scaling)
+    ex = sigma_mod.compact_exprs(data.mixture_prec, dterm_old, st.nat_mu)
+    natvd = kernels.fast_vi_delta_grad(st.hyper_delta, data.log_det,
+                                       data.annotations)
+    addenda = ex.log_det_sigma + ex.quad
+    li = 0.5 * (addenda[:-1] - addenda[-1:]) + natvd
+    vi_delta = kernels.invert_nat_cat_2D(li)
+    second = jnp.einsum('kpi,ki->pi', ex.diag + ex.mu ** 2, vi_delta)
+    post_vars = second - post_means ** 2
+
+    scaled_mu = post_means / data.std_errs
+    quad = jnp.einsum('pi,pi->p', scaled_mu, linked)
+    new_scaling = (
+        data.chi_stat
+        - 2 * jnp.einsum('pi,pi->p', post_means, data.adj_marginal_effects)
+        + quad
+        + jnp.sum(data.ld_diags * post_vars * data.std_errs ** -2, axis=1)
+    ) / data.ld_ranks
+
+    # re-base: vi_mu (= ex.mu = sigma_old @ nat) is unchanged by the EM;
+    # express it in the NEW natural coordinates
+    dterm_new = _diag_term(data, new_scaling)
+    nat_new = sigma_mod.apply_precision(data.mixture_prec, dterm_new,
+                                        ex.mu)
+    st = dataclasses.replace(st, error_scaling=new_scaling,
+                             nat_mu=nat_new)
+    new_obj, pm, lk = _objective_compact(data, st, nat_new,
+                                         st.hyper_delta)
+    return st, new_obj - orig_obj, pm
+
+
 def _outer_step_compact(data, st, line_search_rate):
-    if data.scale_se:
-        raise ValueError('the compact state representation does not '
-                         'support scale_se fits (the error-scaling EM '
-                         'makes natural means K-dependent); build a '
-                         'materialized state instead')
+    if data.scale_se and st.nat_mu.ndim != 3:
+        raise ValueError('compact scale_se fits carry a per-component '
+                         '[K, P, I] natural mean (the error-scaling EM '
+                         'makes natural means K-dependent); got a '
+                         'shared [P, I] state')
     # drop any materialized fields (e.g. a state returned by optimize()
     # and re-stepped): they would go stale the moment nat_mu moves
     st = dataclasses.replace(st, vi_mu=None, vi_delta=None, sigma=None,
@@ -747,6 +808,22 @@ def _outer_step_compact(data, st, line_search_rate):
     st, delta_hyper, obj, pm, lk = _update_hyper_delta_compact(data, st,
                                                                obj)
     new_elbo_delta = delta_beta + delta_hyper
+
+    if data.scale_se:
+        def do_em(args):
+            st, obj, pm, lk = args
+            st, em_delta, pm = _update_error_scaling_compact(
+                data, st, obj, pm, lk)
+            return st, em_delta, pm
+
+        def skip(args):
+            st, obj, pm, lk = args
+            return st, jnp.zeros_like(new_elbo_delta), pm
+
+        st, em_delta, pm = jax.lax.cond(new_elbo_delta < EM_TOL, do_em,
+                                        skip, (st, obj, pm, lk))
+        new_elbo_delta = new_elbo_delta + em_delta
+
     red = jnp.where(jnp.isnan(st.running_elbo_delta), new_elbo_delta,
                     st.running_elbo_delta)
     red = red * ELBO_MOMENTUM + (1 - ELBO_MOMENTUM) * jnp.maximum(
@@ -754,8 +831,8 @@ def _outer_step_compact(data, st, line_search_rate):
     st = dataclasses.replace(st, elbo=st.elbo + new_elbo_delta,
                              running_elbo_delta=red)
     # pm is the posterior mean of the final parameters (the hyper-delta
-    # objective evaluation); identical to the recomputation the
-    # materialized path performs
+    # objective evaluation, or the post-EM evaluation for scale_se);
+    # identical to the recomputation the materialized path performs
     return st, pm * data.scalings
 
 
@@ -781,6 +858,15 @@ def compact_nat_mu(data, error_scaling, vi_mu):
     dterm = _diag_term(data, error_scaling)
     return (jnp.einsum('pq,qi->pi', data.mixture_prec[0], vi_mu[0])
             + dterm * vi_mu[0])
+
+
+def compact_nat_mu_k(data, error_scaling, vi_mu):
+    """Per-component [K, P, I] natural means from a materialized vi_mu
+    (scale_se checkpoint resume): nat_k = (prec_k + diag) @ vi_mu[k].
+    Exact — the natural parameterization is a bijection given the
+    checkpointed error_scaling."""
+    dterm = _diag_term(data, error_scaling)
+    return sigma_mod.apply_precision(data.mixture_prec, dterm, vi_mu)
 
 
 def outer_step_impl(data, st, line_search_rate=2.0):
@@ -1234,11 +1320,14 @@ class MultiPopVI:
         assert self._out_index.max(initial=-1) < self._padded_loci
         self.num_mix = self.data.mixture_prec.shape[0]
         self.num_annotations = self.data.num_annotations
-        # the compact [P, I] state applies whenever the natural means stay
-        # K-constant (no error-scaling EM) and the closed-form sigma
-        # algebra covers P (models/sigma.py) — i.e. every production fit
-        # except --learn-scaling
-        self._compact = (not scale_se) and self.num_pops <= 3
+        # the compact state applies whenever the closed-form sigma
+        # algebra covers P (models/sigma.py): non-scale_se fits carry a
+        # shared [P, I] natural mean; scale_se fits carry a
+        # per-component [K, P, I] one (each error-scaling EM event makes
+        # natural means K-dependent — _update_error_scaling_compact).
+        # Either way no [K, I]-shaped state arrays or sigma summaries
+        # live in HBM between evaluations.
+        self._compact = self.num_pops <= 3
         self.state = None
 
     def _mesh_ctx(self):
@@ -1265,6 +1354,33 @@ class MultiPopVI:
             self.data.mixture_prec, self.data.scaled_ld_diags,
             self.state.error_scaling))[..., self._out_index]
 
+    def vi_sigma_chunks(self, chunk_k=None):
+        """Yield vi_sigma in [<=chunk_k, P, P, I] component chunks.
+
+        The full materialized array (reference vi_options.py:264) is
+        [K, P, P, I] — with a production mixture grid (~582 components
+        for 2 cohorts at -K 12) that is ~19 GB at 1M SNPs and ~112 GB at
+        6M, so a converged genome-scale fit would die materializing its
+        own output. Chunking along K bounds host memory at one chunk
+        (~256 MB default); utils/npz_stream.save_npz_stream writes the
+        chunks straight into the output .npz. In multi-host runs every
+        rank must iterate the SAME chunk sequence (the fetch
+        all-gathers); only rank 0 writes."""
+        K = self.num_mix
+        P = self.num_pops
+        dtype = np.dtype(self.data.marginal_effects.dtype)
+        if chunk_k is None:
+            per_k = max(self._orig_loci * P * P * dtype.itemsize, 1)
+            chunk_k = max(1, min(K, (256 << 20) // per_k))
+        # slice the precision table on the host: eager slicing of a
+        # replicated multi-host array is not allowed
+        prec = _fetch(self.data.mixture_prec)
+        for k0 in range(0, K, chunk_k):
+            part = _materialize_sigma_jit(
+                prec[k0:k0 + chunk_k], self.data.scaled_ld_diags,
+                self.state.error_scaling)
+            yield _fetch(part)[..., self._out_index]
+
     def _fresh_state(self, error_scaling=None):
         dtype = self.data.marginal_effects.dtype
         # host leaves stay numpy until they enter a jit (multi-host: numpy
@@ -1276,10 +1392,13 @@ class MultiPopVI:
         K = self.num_mix
         zeros = lambda *s: np.zeros(s, dtype=dtype)  # noqa: E731
         if self._compact:
+            nat_shape = ((self.num_pops, self._padded_loci)
+                         if not self.scale_se
+                         else (K, self.num_pops, self._padded_loci))
             return VIState(
                 vi_mu=None, vi_delta=None, nat_grad_vi_delta=None,
                 sigma=None,
-                nat_mu=zeros(self.num_pops, self._padded_loci),
+                nat_mu=zeros(*nat_shape),
                 hyper_delta=zeros(self.num_annotations, K),
                 error_scaling=error_scaling,
                 L=np.ones(3, dtype=dtype),
@@ -1329,6 +1448,11 @@ class MultiPopVI:
         vi_mu, vi_delta, hyper, nat_vd, temp_nat = initialize_from_fake_mu(
             self.data, sig, st.error_scaling, fake_mu)
         if self._compact:
+            if self.scale_se:
+                # initialization is K-constant (error_scaling all ones);
+                # the per-component state starts as a plain broadcast
+                temp_nat = jnp.broadcast_to(
+                    temp_nat[None], (self.num_mix,) + temp_nat.shape)
             return dataclasses.replace(st, nat_mu=temp_nat,
                                        hyper_delta=hyper)
         return dataclasses.replace(st, vi_mu=vi_mu, vi_delta=vi_delta,
@@ -1362,11 +1486,12 @@ class MultiPopVI:
         vi_delta[:, ix] = vi_delta_in.T
         hyper = np.asarray(loaded_checkpoint['hyper_delta'], dtype=dtype)
         if self._compact:
-            # recover the shared natural mean from the stored vi_mu
-            # (exact for any checkpoint this engine or the reference
-            # writes; see compact_nat_mu)
-            nat = jax.jit(compact_nat_mu)(self.data, st.error_scaling,
-                                          jnp.asarray(vi_mu))
+            # recover the natural mean(s) from the stored vi_mu (exact
+            # for any checkpoint this engine or the reference writes;
+            # see compact_nat_mu / compact_nat_mu_k)
+            recover = compact_nat_mu_k if self.scale_se else compact_nat_mu
+            nat = jax.jit(recover)(self.data, st.error_scaling,
+                                   jnp.asarray(vi_mu))
             return dataclasses.replace(st, nat_mu=nat, hyper_delta=hyper)
         return dataclasses.replace(
             st,

@@ -244,8 +244,23 @@ class CompactExprs:
     quadform: jnp.ndarray         # [K, I]
 
 
+def _nat_row(nat_mu, p):
+    """Population-p rows of a natural mean, broadcastable over [K, I].
+
+    nat_mu may be the shared [P, I] compact state (natural means constant
+    in K — every non-scale_se fit) or the per-component [K, P, I] state
+    (scale_se fits: each error-scaling EM event re-bases the natural
+    means k-dependently, see engine._update_error_scaling_compact)."""
+    if nat_mu.ndim == 2:
+        return nat_mu[p][None, :]                           # [1, I]
+    return nat_mu[:, p, :]                                  # [K, I]
+
+
 def compact_exprs(mixture_prec, diag_term, nat_mu):
-    """Build CompactExprs from the closed-form P<=3 algebra."""
+    """Build CompactExprs from the closed-form P<=3 algebra.
+
+    nat_mu: [P, I] (K-shared) or [K, P, I] (per-component) natural
+    means — see `_nat_row`."""
     P = mixture_prec.shape[1]
     if not _use_closed_form(P):
         raise NotImplementedError('compact expressions need the closed-'
@@ -253,7 +268,7 @@ def compact_exprs(mixture_prec, diag_term, nat_mu):
     parts = _precision_parts(mixture_prec, diag_term)
     if P == 1:
         (a,) = parts
-        n0 = nat_mu[0][None, :]                             # [1, I]
+        n0 = _nat_row(nat_mu, 0)                            # [1|K, I]
         mu0 = n0 / a                                        # [K, I]
         p00 = mixture_prec[:, 0, 0][:, None]
         return CompactExprs(
@@ -263,7 +278,7 @@ def compact_exprs(mixture_prec, diag_term, nat_mu):
     if P == 2:
         a, b, d = parts
         det = a * d - b * b
-        n0, n1 = nat_mu[0][None, :], nat_mu[1][None, :]
+        n0, n1 = _nat_row(nat_mu, 0), _nat_row(nat_mu, 1)
         y0 = (d * n0 - b * n1) / det
         y1 = (a * n1 - b * n0) / det
         p00 = mixture_prec[:, 0, 0][:, None]
@@ -277,8 +292,8 @@ def compact_exprs(mixture_prec, diag_term, nat_mu):
             quad=y0 * n0 + y1 * n1,
             quadform=p00 * y0 * y0 + 2 * p01 * y0 * y1 + p11 * y1 * y1)
     A, B, C, D, E, F, det = _adjugate3(parts)
-    n0, n1, n2 = (nat_mu[0][None, :], nat_mu[1][None, :],
-                  nat_mu[2][None, :])
+    n0, n1, n2 = (_nat_row(nat_mu, 0), _nat_row(nat_mu, 1),
+                  _nat_row(nat_mu, 2))
     y0 = (A * n0 + B * n1 + C * n2) / det
     y1 = (B * n0 + D * n1 + E * n2) / det
     y2 = (C * n0 + E * n1 + F * n2) / det

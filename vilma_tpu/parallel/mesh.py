@@ -121,6 +121,10 @@ def _shard_dataclass(obj, mesh):
                 # host value instead
                 val = np.asarray(val)
             spec = specs.get((owner, f.name), P())
+            if (owner, f.name) == ('VIState', 'nat_mu') and val.ndim == 3:
+                # scale_se fits carry per-component [K, P, I] natural
+                # means (engine.VIState docstring) — same layout as vi_mu
+                spec = specs[('VIState', 'vi_mu')]
             sharding = NamedSharding(mesh, spec)
             arr = np.asarray(val)
             if (jax.process_count() > 1 and arr.dtype.kind == 'f'

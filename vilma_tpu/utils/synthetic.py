@@ -77,12 +77,14 @@ def synthetic_state(data, seed=0, compact=False):
     rng = np.random.default_rng(seed)
     error_scaling = jnp.ones(P, dtype=dtype)
     if compact:
-        assert not data.scale_se
+        # scale_se fits carry per-component [K, P, I] natural means
+        # (engine.VIState docstring); others share one [P, I] mean
+        nat_shape = (K, P, I) if data.scale_se else (P, I)
         hyper = rng.uniform(0.1, 1.0, (A, K))
         hyper /= hyper.sum(axis=1, keepdims=True)
         st = engine.VIState(
             vi_mu=None, vi_delta=None, nat_grad_vi_delta=None, sigma=None,
-            nat_mu=jnp.asarray(rng.standard_normal((P, I)) * 1e-2,
+            nat_mu=jnp.asarray(rng.standard_normal(nat_shape) * 1e-2,
                                dtype=dtype),
             hyper_delta=jnp.asarray(hyper, dtype=dtype),
             error_scaling=error_scaling,
