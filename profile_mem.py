@@ -76,15 +76,20 @@ def main():
     if not os.path.exists(os.path.join(cache_dir, 'meta.json')):
         raise SystemExit(f'no packed cache at {cache_dir}')
 
-    # small real instance for field structure (CPU), then substitute I
+    # small real instance for field structure (CPU), then substitute I.
+    # BENCH_SCALE_SE=1 profiles the --learn-scaling program (compact
+    # per-component [K, P, I] state); PROFILE_COMPACT=0 opts back into
+    # the materialized state (the pre-round-3 program shape).
+    compact = os.environ.get('PROFILE_COMPACT', '1') == '1'
     cpu = jax.devices('cpu')[0]
     with jax.default_device(cpu):
         data = synthetic.synthetic_problem(
             num_loci=SMALL_I, num_pops=2,
             num_components=bench.NUM_COMPONENTS,
             block_size=bench.BLOCK_SIZE, num_annotations=4,
-            dtype=np.float32, rank_frac=bench.RANK_FRAC)
-        state = synthetic.synthetic_state(data)
+            dtype=np.float32, rank_frac=bench.RANK_FRAC,
+            scale_se=bench.SCALE_SE)
+        state = synthetic.synthetic_state(data, compact=compact)
 
     # one UNIQUE LD parameter (both populations index it via ld_index,
     # matching build_model_data's identity dedup)
