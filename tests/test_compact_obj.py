@@ -35,15 +35,19 @@ def _objective_pair(data, st):
 
 @pytest.mark.parametrize('num_pops', [1, 2, 3])
 @pytest.mark.parametrize('num_annotations', [1, 3, 12])
-def test_prologue_matches_staging(num_pops, num_annotations):
+@pytest.mark.parametrize('kdim', [False, True])
+def test_prologue_matches_staging(num_pops, num_annotations, kdim):
     """Objective, posterior means, and matvec outputs agree with the
     staged XLA path to float64 rounding across P x A (12 annotations
     exercises the kernel's one-hot-matmul selection branch; 1 and 3 the
-    broadcast/select branches)."""
+    broadcast/select branches). kdim runs the per-component [K, P, I]
+    scale_se natural-mean state through the same kernels."""
     data = synthetic.synthetic_problem(num_loci=300, num_pops=num_pops,
                                        num_components=5, block_size=32,
-                                       num_annotations=num_annotations)
+                                       num_annotations=num_annotations,
+                                       scale_se=kdim)
     st = synthetic.synthetic_state(data, seed=1, compact=True)
+    assert st.nat_mu.ndim == (3 if kdim else 2)
     (o1, pm1, lk1), (o2, pm2, lk2) = _objective_pair(data, st)
     assert np.isclose(float(o1), float(o2), rtol=1e-11)
     # the kernel reassociates the softmax/moment sums (full-logit vs
@@ -60,13 +64,15 @@ def test_prologue_matches_staging(num_pops, num_annotations):
 
 
 @pytest.mark.parametrize('num_pops', [1, 2, 3])
-def test_delta_sums_matches_sum_annotations(num_pops):
+@pytest.mark.parametrize('kdim', [False, True])
+def test_delta_sums_matches_sum_annotations(num_pops, kdim):
     """The fused annotation-sum kernel equals sum_annotations over the
-    XLA-derived vi_delta (the compact hyper-delta update's input)."""
+    XLA-derived vi_delta (the compact hyper-delta update's input), for
+    both the shared and the per-component (scale_se) natural mean."""
     from vilma_tpu.ops import kernels
     data = synthetic.synthetic_problem(num_loci=300, num_pops=num_pops,
                                        num_components=5, block_size=32,
-                                       num_annotations=3)
+                                       num_annotations=3, scale_se=kdim)
     st = synthetic.synthetic_state(data, seed=2, compact=True)
     _, _, vi_delta = engine._derive_params(data, st.error_scaling,
                                            st.nat_mu, st.hyper_delta)
@@ -78,9 +84,9 @@ def test_delta_sums_matches_sum_annotations(num_pops):
 
 
 def test_prologue_skips_materialized_states():
-    """scale_se fits use the materialized path; enabling the kernel
-    must not perturb them (the dispatch lives in the compact objective
-    only)."""
+    """Materialized states (the P>=4 / direct-API path) must be
+    unperturbed by enabling the kernel — the dispatch lives in the
+    compact objective only."""
     data = synthetic.synthetic_problem(num_loci=128, num_pops=2,
                                        num_components=3, block_size=32,
                                        num_annotations=2, scale_se=True)
@@ -124,6 +130,35 @@ def test_compact_trajectory_pallas_interpret_matches_xla():
     assert np.allclose(pm_p, pm_x, atol=1e-8 * scale)
     assert abs(elbo_p - elbo_x) <= 1e-8 * abs(elbo_x)
     assert np.allclose(hd_p, hd_x, rtol=1e-7, atol=1e-10)
+
+
+def test_scale_se_trajectory_pallas_interpret_matches_xla():
+    """Outer steps of a --learn-scaling fit (the per-component [K, P, I]
+    compact state, EM events included) with every fused kernel enabled
+    track the XLA path."""
+    data = synthetic.synthetic_problem(num_loci=256, num_pops=2,
+                                       num_components=4, block_size=64,
+                                       num_annotations=2, scale_se=True)
+
+    def run():
+        st = synthetic.synthetic_state(data, compact=True)
+        for _ in range(8):
+            st, pm = engine.outer_step(data, st, line_search_rate=2.0)
+        return (np.asarray(pm), float(st.elbo),
+                np.asarray(st.error_scaling))
+
+    pm_x, elbo_x, es_x = run()
+    try:
+        blocks.enable_pallas(True, interpret=True)
+        engine.outer_step.clear_cache()
+        pm_p, elbo_p, es_p = run()
+    finally:
+        blocks.enable_pallas(False)
+        engine.outer_step.clear_cache()
+    scale = np.abs(pm_x).max()
+    assert np.allclose(pm_p, pm_x, atol=1e-8 * scale)
+    assert abs(elbo_p - elbo_x) <= 1e-8 * abs(elbo_x)
+    assert np.allclose(es_p, es_x, rtol=1e-8)
 
 
 def test_sharded_compact_prologue_matches_single_device():

@@ -510,8 +510,10 @@ def _derive_params(data, error_scaling, nat_mu, hyper_delta):
 
 def _prologue_supported(data, nat_mu):
     from vilma_tpu.ops.pallas import compact_obj
-    P, K = nat_mu.shape[0], data.mixture_prec.shape[0]
-    return compact_obj.supported(P, K, jnp.dtype(nat_mu.dtype))
+    P = data.mixture_prec.shape[1]
+    K = data.mixture_prec.shape[0]
+    return compact_obj.supported(P, K, jnp.dtype(nat_mu.dtype),
+                                 kdim=nat_mu.ndim == 3)
 
 
 def _fused_operands(data, error_scaling, nat_mu, hyper_delta):
@@ -528,18 +530,20 @@ def _fused_operands(data, error_scaling, nat_mu, hyper_delta):
     return (coeffs, scores_t, data.annotations, dterm, nat_mu), sharded
 
 
-def _fused_shard_map(local, out_specs):
+def _fused_shard_map(local, out_specs, nat_ndim=2):
     """shard_map over the 'snp' axis with the canonical fused-kernel
-    in_specs (replicated tables, span-sharded [*, I] operands).
+    in_specs (replicated tables, span-sharded [*, I] operands; the
+    natural mean is [P, I] or the scale_se [K, P, I] state).
 
     check_vma=False: pallas_call cannot declare output vma (see
     blocks._dot_sharded); cross-device outputs are psum'd explicitly
     inside `local`."""
     from jax.sharding import PartitionSpec as PS
+    nat_spec = (PS(None, 'snp') if nat_ndim == 2
+                else PS(None, None, 'snp'))
     return jax.shard_map(
         local,
-        in_specs=(PS(), PS(), PS('snp'), PS(None, 'snp'),
-                  PS(None, 'snp')),
+        in_specs=(PS(), PS(), PS('snp'), PS(None, 'snp'), nat_spec),
         out_specs=out_specs, check_vma=False)
 
 
@@ -561,7 +565,8 @@ def _prologue_fused(data, error_scaling, nat_mu, hyper_delta, interpret):
             return pm, pv, jax.lax.psum(kl, 'snp')
 
         return _fused_shard_map(
-            local, (PS(None, 'snp'), PS(None, 'snp'), PS()))(*args)
+            local, (PS(None, 'snp'), PS(None, 'snp'), PS()),
+            nat_ndim=nat_mu.ndim)(*args)
     return compact_obj.prologue(*args, num_annotations=A,
                                 interpret=interpret)
 
@@ -580,10 +585,9 @@ def _objective_compact(data, st, nat_mu, hyper_delta):
     632-641, 868-885), identical up to float reassociation.
     """
     use_pk, interp = blocks_mod.pallas_flags()
-    # the fused Mosaic prologue streams the SHARED [P, I] natural mean;
-    # the scale_se [K, P, I] state takes the XLA closed-form route below
-    if use_pk and nat_mu.ndim == 2 and (
-            interp or _prologue_supported(data, nat_mu)):
+    # the fused Mosaic prologue streams the shared [P, I] natural mean
+    # or the per-component [K, P, I] scale_se state (compact_obj kdim)
+    if use_pk and (interp or _prologue_supported(data, nat_mu)):
         post_means, post_vars, beta_kl = _prologue_fused(
             data, st.error_scaling, nat_mu, hyper_delta, interp)
         scaled_mu, linked_ests = _ld_scaled_dot(data, post_means)
@@ -718,7 +722,7 @@ def _delta_sums_fused(data, error_scaling, nat_mu, hyper_delta,
                                        interpret=interpret)
             return jax.lax.psum(s, 'snp')
 
-        return _fused_shard_map(local, PS())(*args)
+        return _fused_shard_map(local, PS(), nat_ndim=nat_mu.ndim)(*args)
     return compact_obj.delta_sums(*args, num_annotations=A,
                                   interpret=interpret)
 
@@ -728,8 +732,7 @@ def _update_hyper_delta_compact(data, st, orig_obj):
     new nat_grad_vi_delta is implied by the new hyper_delta."""
     eps = epsilon(st.nat_mu.dtype)
     use_pk, interp = blocks_mod.pallas_flags()
-    if use_pk and st.nat_mu.ndim == 2 and (
-            interp or _prologue_supported(data, st.nat_mu)):
+    if use_pk and (interp or _prologue_supported(data, st.nat_mu)):
         new_hd = _delta_sums_fused(data, st.error_scaling, st.nat_mu,
                                    st.hyper_delta, interp)
     else:

@@ -37,35 +37,44 @@ from jax.experimental.pallas import tpu as pltpu
 from vilma_tpu.utils.config import epsilon
 
 
-def _pick_tile(K):
+def _pick_tile(K, kdim=False, P=1):
     """SNP-tile width: ~14 [K, T] f32 temporaries must fit a ~6 MB VMEM
-    budget alongside the in/out tiles and Mosaic's workspace."""
+    budget alongside the in/out tiles and Mosaic's workspace. With a
+    per-component natural-mean input (kdim — the scale_se state) the
+    rank-3 [K, P, T] nat tile costs 8 more [K, T] buffers (the P axis
+    sublane-pads to 8)."""
     budget = 6 * 1024 * 1024
-    t = budget // (14 * 4 * max(K, 1))
+    rows = 14 + (8 if kdim else 0)
+    t = budget // (rows * 4 * max(K, 1))
     t = min(4096, (t // 128) * 128)
     return t if t >= 128 else None
 
 
-def shape_supported(P, K, dtype):
+def shape_supported(P, K, dtype, kdim=False):
     return dtype == jnp.dtype(jnp.float32) and P in (1, 2, 3) \
-        and _pick_tile(K) is not None
+        and _pick_tile(K, kdim=kdim, P=P) is not None
 
 
-def supported(P, K, dtype):
+def supported(P, K, dtype, kdim=False):
     """Whether the fused prologue applies here and now (mirrors
     block_matvec.supported: Mosaic is TPU-only and rejects x64)."""
     if jax.default_backend() != 'tpu':
         return False
     if jax.config.jax_enable_x64:
         return False
-    return shape_supported(P, K, dtype)
+    return shape_supported(P, K, dtype, kdim=kdim)
 
 
 def _derive_tile(coeffs_ref, scores_ref, ann, nat_ref, dterm_ref,
-                 *, P, A, eps):
+                 *, P, A, eps, kdim=False):
     """Shared per-tile derivation: closed-form component algebra +
     stabilized categorical vi_delta (every array [K, T] or [1, T],
-    VMEM-resident)."""
+    VMEM-resident).
+
+    kdim: the natural mean is per-component (the scale_se [K, P, I]
+    state, passed as [P*K, T] tiles with row p*K + k) — the identical
+    algebra runs with [K, T] rows in place of the broadcast [1, T]
+    rows (models/sigma._nat_row)."""
     K = coeffs_ref.shape[0]
     T = ann.shape[1]
 
@@ -88,7 +97,13 @@ def _derive_tile(coeffs_ref, scores_ref, ann, nat_ref, dterm_ref,
     # closed-form per-(k, i) sigma algebra (models/sigma.compact_exprs),
     # vectorized over K: coefficient columns broadcast [K,1] x [1,T]
     c = [coeffs_ref[:, j:j + 1] for j in range(coeffs_ref.shape[1])]
-    n = [nat_ref[p:p + 1, :] for p in range(P)]
+    if kdim:
+        # rank-3 [K, P, T] tile of the scale_se state: slice the P
+        # (sublane) axis in-register — the state streams from HBM in
+        # its native layout, no host-side transpose copy per evaluation
+        n = [nat_ref[:, p, :] for p in range(P)]
+    else:
+        n = [nat_ref[p:p + 1, :] for p in range(P)]
     dt = [dterm_ref[p:p + 1, :] for p in range(P)]
     if P == 1:
         a = c[0] + dt[0]
@@ -158,10 +173,10 @@ def _derive_tile(coeffs_ref, scores_ref, ann, nat_ref, dterm_ref,
 
 
 def _kernel(coeffs_ref, scores_ref, ann_ref, dterm_ref, nat_ref,
-            pm_ref, pv_ref, kl_ref, *, P, A, eps):
+            pm_ref, pv_ref, kl_ref, *, P, A, eps, kdim=False):
     ann = ann_ref[...]                                     # [1, T] int32
     d = _derive_tile(coeffs_ref, scores_ref, ann, nat_ref, dterm_ref,
-                     P=P, A=A, eps=eps)
+                     P=P, A=A, eps=eps, kdim=kdim)
     vd, y, diag = d['vd'], d['y'], d['diag']
     sel, ldp, logdet = d['sel'], d['ldp'], d['logdet']
     quadform, matches, log_vd = d['quadform'], d['matches'], d['log_vd']
@@ -197,22 +212,33 @@ def _prep_launch(kernel, coeffs, scores_t, annotations, dterm, nat_mu,
     them), bind the kernel's static parameters, and build the canonical
     SNP-grid + in_specs contract.
 
+    nat_mu may be the shared [P, I] natural mean or the per-component
+    [K, P, I] scale_se state; the latter streams in its NATIVE layout
+    as rank-3 [K, P, T] tiles (a host-side transpose copy per
+    evaluation would cost more than the fusion saves — measured).
+
     Returns (kern, grid, in_specs, args, ipad, T)."""
-    P, I = nat_mu.shape
     K, A = scores_t.shape
+    kdim = nat_mu.ndim == 3
+    P, I = nat_mu.shape[-2:]
     assert A == num_annotations
-    T = _pick_tile(K)
+    T = _pick_tile(K, kdim=kdim, P=P)
     ipad = -(-I // T) * T
     if ipad != I:
         pad = ipad - I
         annotations = jnp.pad(annotations, (0, pad),
                               constant_values=num_annotations)
         dterm = jnp.pad(dterm, ((0, 0), (0, pad)), constant_values=1.0)
-        nat_mu = jnp.pad(nat_mu, ((0, 0), (0, pad)))
+        widths = [(0, 0)] * (nat_mu.ndim - 1) + [(0, pad)]
+        nat_mu = jnp.pad(nat_mu, widths)
     ann2 = annotations[None, :].astype(jnp.int32)
     eps = float(epsilon(nat_mu.dtype))
-    kern = functools.partial(kernel, P=P, A=A, eps=eps)
+    kern = functools.partial(kernel, P=P, A=A, eps=eps, kdim=kdim)
     ncol = coeffs.shape[1]
+    nat_spec = (pl.BlockSpec((K, P, T), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM) if kdim
+                else pl.BlockSpec((P, T), lambda i: (0, i),
+                                  memory_space=pltpu.VMEM))
     in_specs = [
         pl.BlockSpec((K, ncol), lambda i: (0, 0),
                      memory_space=pltpu.VMEM),         # coeffs
@@ -222,8 +248,7 @@ def _prep_launch(kernel, coeffs, scores_t, annotations, dterm, nat_mu,
                      memory_space=pltpu.VMEM),         # annotations
         pl.BlockSpec((P, T), lambda i: (0, i),
                      memory_space=pltpu.VMEM),         # dterm
-        pl.BlockSpec((P, T), lambda i: (0, i),
-                     memory_space=pltpu.VMEM),         # nat_mu
+        nat_spec,                                      # nat_mu
     ]
     args = (coeffs, scores_t, ann2, dterm, nat_mu)
     return kern, (ipad // T,), in_specs, args, ipad, T
@@ -241,11 +266,12 @@ def prologue(coeffs, scores_t, annotations, dterm, nat_mu, *,
         annotations: [I] integer annotation ids (== num_annotations on
             padding slots).
         dterm: [P, I] f32 — scaled_ld_diags / error_scaling.
-        nat_mu: [P, I] f32 — the compact natural mean.
+        nat_mu: [P, I] f32 — the compact natural mean — or [K, P, I]
+            for the per-component scale_se state.
     Returns:
         (post_means [P, I], post_vars [P, I], beta_kl scalar), all f32.
     """
-    P, I = nat_mu.shape
+    P, I = nat_mu.shape[-2:]
     K, A = scores_t.shape
     kern, grid, in_specs, args, ipad, T = _prep_launch(
         _kernel, coeffs, scores_t, annotations, dterm, nat_mu,
@@ -277,10 +303,10 @@ def prologue(coeffs, scores_t, annotations, dterm, nat_mu, *,
 
 
 def _sums_kernel(coeffs_ref, scores_ref, ann_ref, dterm_ref, nat_ref,
-                 sums_ref, *, P, A, eps):
+                 sums_ref, *, P, A, eps, kdim=False):
     ann = ann_ref[...]                                     # [1, T] int32
     d = _derive_tile(coeffs_ref, scores_ref, ann, nat_ref, dterm_ref,
-                     P=P, A=A, eps=eps)
+                     P=P, A=A, eps=eps, kdim=kdim)
     vd = d['vd']                                           # [K, T]
     T = ann.shape[1]
     # S[k, a] = sum_{t: ann_t == a} vd[k, t] — one MXU contraction per
@@ -309,8 +335,9 @@ def delta_sums(coeffs, scores_t, annotations, dterm, nat_mu, *,
     sum_annotations(vi_delta) — this computes it straight from the
     compact natural mean without materializing vi_delta (the XLA
     _derive_params route streams ~2 GB of [K, *, I] intermediates at
-    1M SNPs for what is one [A, K] table)."""
-    P, _ = nat_mu.shape
+    1M SNPs for what is one [A, K] table). nat_mu: [P, I] or the
+    per-component [K, P, I] scale_se state."""
+    P = nat_mu.shape[-2]
     K, A = scores_t.shape
     kern, grid, in_specs, args, ipad, _ = _prep_launch(
         _sums_kernel, coeffs, scores_t, annotations, dterm, nat_mu,

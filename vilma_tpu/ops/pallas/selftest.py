@@ -82,18 +82,21 @@ def run_one(pmax, rmax, dtype, B=3, C=2, seed=0):
 
 
 def prologue_configs():
-    """(P, K, A) tiers of the compact-objective prologue kernel: every
-    cohort count, small and large component counts (the tile picker
-    changes regime), and each annotation-selection branch (broadcast /
-    masked select / one-hot matmul)."""
+    """(P, K, A, kdim) tiers of the compact-objective prologue kernel:
+    every cohort count, small and large component counts (the tile
+    picker changes regime), each annotation-selection branch
+    (broadcast / masked select / one-hot matmul), and both natural-mean
+    layouts (shared [P, I] and the per-component scale_se [K, P, I])."""
     for P in (1, 2, 3):
         for K in (2, 18, 200):
             for A in (1, 4, 24):
-                if co.shape_supported(P, K, jnp.dtype(jnp.float32)):
-                    yield P, K, A
+                for kdim in (False, True):
+                    if co.shape_supported(P, K, jnp.dtype(jnp.float32),
+                                          kdim=kdim):
+                        yield P, K, A, kdim
 
 
-def run_prologue_one(P, K, A, I=9000, seed=0):
+def run_prologue_one(P, K, A, I=9000, seed=0, kdim=False):
     """Compile + run the prologue for one tier vs its XLA re-derivation.
 
     Returns the normalized max error over (post_means, post_vars, kl)."""
@@ -108,7 +111,8 @@ def run_prologue_one(P, K, A, I=9000, seed=0):
     hyper = rng.dirichlet(np.ones(K), size=A)
     ann = rng.integers(0, A + 1, I)       # includes padding slots
     dterm = rng.uniform(0.5, 3.0, (P, I))
-    nat = rng.standard_normal((P, I)) * 5
+    nat_shape = (K, P, I) if kdim else (P, I)
+    nat = rng.standard_normal(nat_shape) * 5
 
     coeffs = co.build_coeffs(jnp.asarray(prec, jnp.float32),
                              jnp.asarray(log_det, jnp.float32))
@@ -148,20 +152,21 @@ def run_selftest(verbose=print):
                            '(interpret mode cannot catch Mosaic '
                            'compile rejections)')
     results, failures = [], []
-    for P, K, A in prologue_configs():
+    for P, K, A, kdim in prologue_configs():
+        tag = 'prologueK' if kdim else 'prologue'
         try:
-            err = run_prologue_one(P, K, A)
+            err = run_prologue_one(P, K, A, kdim=kdim)
         except Exception as exc:          # Mosaic compile rejection
-            failures.append(f'prologue P={P} K={K} A={A}: '
+            failures.append(f'{tag} P={P} K={K} A={A}: '
                             f'{type(exc).__name__}: {exc}')
             continue
-        results.append((P, K, f'prologue_A{A}', err))
+        results.append((P, K, f'{tag}_A{A}', err))
         ok = err <= _TOL_PROLOGUE
         if verbose:
-            verbose(f'selftest prologue  P={P} K={K:4d} A={A:3d} '
+            verbose(f'selftest {tag:9s} P={P} K={K:4d} A={A:3d} '
                     f'err={err:.3e} {"ok" if ok else "FAIL"}')
         if not ok:
-            failures.append(f'prologue P={P} K={K} A={A}: err {err:.3e} '
+            failures.append(f'{tag} P={P} K={K} A={A}: err {err:.3e} '
                             f'(tol {_TOL_PROLOGUE:.0e})')
     for pmax, rmax, dtype in configs():
         name = jnp.dtype(dtype).name
