@@ -36,7 +36,12 @@ if not 1 <= NUM_POPS <= 3:
     raise SystemExit(f'BENCH_POPS={NUM_POPS}: the benchmark supports '
                      '1-3 populations (compact state needs the '
                      'closed-form P<=3 sigma algebra)')
-if _SIZE == '6m':
+if os.environ.get('BENCH_LOCI'):
+    # arbitrary SNP count (e.g. the 1M/N per-device sizes of the pod
+    # scaling model — see BASELINE.md "Scaling model")
+    NUM_LOCI = int(float(os.environ['BENCH_LOCI']))
+    _SIZE = f'{NUM_LOCI}loci'
+elif _SIZE == '6m':
     NUM_LOCI = 6_000_000
 elif _SIZE == '1m':
     NUM_LOCI = 1_000_000
@@ -55,7 +60,9 @@ GRID = os.environ.get('BENCH_GRID', '')
 GRID_K = int(os.environ.get('BENCH_GRID_K', '12'))
 NUM_COMPONENTS = 18
 _KTAG = 'K18' if GRID != 'cli' else f'cligrid{GRID_K}'
-METRIC = (f'vi_iterations_per_s_{_SIZE if _SIZE in ("1m", "6m") else "100k"}'
+_SIZETAG = (_SIZE if _SIZE in ('1m', '6m') or _SIZE.endswith('loci')
+            else '100k')
+METRIC = (f'vi_iterations_per_s_{_SIZETAG}'
           f'_snp_{NUM_POPS}pop_{_KTAG}'
           + ('_scale_se' if SCALE_SE else ''))
 BLOCK_SIZE = 1024
