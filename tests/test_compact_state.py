@@ -109,6 +109,43 @@ def test_compact_nat_mu_roundtrip():
                        atol=1e-13)
 
 
+def test_multipopvi_scale_se_compact_resume(tmp_path):
+    """A --learn-scaling fit uses the per-component compact state, and
+    checkpoint resume through the .npz roundtrip (compact_nat_mu_k)
+    reproduces the parameter point exactly — including a non-trivial
+    learned error_scaling."""
+    np.random.seed(11)
+    data = synthetic.synthetic_problem(num_loci=128, num_pops=2,
+                                       num_components=3, block_size=32,
+                                       scale_se=True)
+    covs = np.linalg.inv(np.asarray(data.mixture_prec))
+    kw = dict(
+        marginal_effects=np.asarray(data.marginal_effects),
+        std_errs=np.asarray(data.std_errs),
+        ld_mats=[data.ld[0]] * 2,
+        mixture_covs=covs, annotations=np.ones((128, 1)),
+        checkpoint=False, checkpoint_freq=-1, scaled=False,
+        scale_se=True, gwas_N=np.full(2, 1e5), init_hg=np.full(2, 0.3),
+        num_its=25)
+    scheme = engine.MultiPopVI(output=str(tmp_path / 'a'), **kw)
+    assert scheme._compact
+    st = scheme.optimize()
+    assert st.nat_mu is not None and st.nat_mu.ndim == 3
+    assert not np.allclose(np.asarray(st.error_scaling), 1.0)
+    dump = scheme.create_dump_dict(st)
+    np.savez(tmp_path / 'ckpt.npz', **dump)
+    scheme2 = engine.MultiPopVI(output=str(tmp_path / 'b'), **kw)
+    restored = scheme2._state_from_checkpoint(
+        np.load(tmp_path / 'ckpt.npz'))
+    assert restored.nat_mu is not None and restored.nat_mu.ndim == 3
+    assert np.allclose(np.asarray(restored.error_scaling),
+                       np.asarray(st.error_scaling))
+    assert np.isclose(scheme.elbo_value(st),
+                      scheme2.elbo_value(restored), rtol=1e-10)
+    st2 = scheme2.optimize(np.load(tmp_path / 'ckpt.npz'))
+    assert scheme2.elbo_value(st2) >= scheme.elbo_value(st) - 1e-8
+
+
 def test_multipopvi_uses_compact_and_resumes(tmp_path):
     """MultiPopVI auto-selects compact for non-scale_se fits; checkpoint
     resume through the .npz roundtrip preserves the trajectory."""
