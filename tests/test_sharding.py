@@ -7,6 +7,7 @@ numbers as the single-device run.
 """
 import numpy as np
 import jax
+import pytest
 
 from vilma_tpu.inference import engine
 from vilma_tpu.ops import blocks, lowrank
@@ -203,6 +204,82 @@ def test_shard_local_step_matches_unsharded():
     assert np.allclose(np.asarray(st2.error_scaling),
                        np.asarray(st1.error_scaling), rtol=1e-9)
     # pad slots stay exactly inert
+    pads = np.setdiff1d(np.arange(L), lmap)
+    assert np.all(np.asarray(pm2)[:, pads] == 0)
+
+
+@pytest.mark.parametrize('fused', [False, True])
+def test_shard_local_scale_se_compact_matches_unsharded(fused):
+    """The per-component [K, P, I] compact scale_se state under the
+    shard-local mesh (kdim nat sharded P(comp, None, 'snp'); fused=True
+    adds the interpret-mode kdim Mosaic kernels) reproduces the plain
+    single-device compact step."""
+    import dataclasses
+    num_loci = 512
+    rng = np.random.default_rng(9)
+    factors, indices = [], []
+    for a in range(0, num_loci, 64):
+        m = rng.standard_normal((64, 64))
+        factors.append(lowrank.factor_block(
+            X=m @ m.T + 64 * np.eye(64), t=1.0, check_symmetric=False))
+        indices.append(np.arange(a, a + 64))
+    ld = blocks.pack(factors, indices, num_loci)
+
+    std_errs = rng.uniform(0.01, 0.05, (2, num_loci))
+    betas = rng.standard_normal((2, num_loci)) * std_errs * 2
+    covs = [np.eye(2) * s for s in (1e-6, 1e-4, 1e-2)]
+    annotations = np.zeros((num_loci, 2))
+    annotations[np.arange(num_loci), rng.integers(0, 2, num_loci)] = 1
+
+    def build(ld_mats, b, se, annot):
+        return engine.build_model_data(
+            b, se, ld_mats, annot, covs, scaled=False, scale_se=True,
+            gwas_N=np.full(2, 1e5), init_hg=np.full(2, 0.3))
+
+    try:
+        if fused:
+            blocks.enable_pallas(True, interpret=True)
+            engine.outer_step.clear_cache()
+        data1 = build([ld, ld], betas, std_errs, annotations)
+        state1 = synthetic.synthetic_state(data1, compact=True)
+        assert state1.nat_mu.ndim == 3
+        st1, pm1 = engine.outer_step(data1, state1, line_search_rate=2.0)
+
+        from vilma_tpu.parallel import alignment
+        lmap, L, ok = alignment.compute_layout([ld], num_loci, n_shards=8)
+        assert ok
+        lds = alignment.relayout_ld(ld, lmap, L, n_shards=8)
+        assert lds.shard_count == 8
+        mesh = mesh_mod.make_mesh(n_snp=8, n_comp=1)
+        with jax.set_mesh(mesh):
+            data2 = build(
+                [lds, lds],
+                alignment.relayout_rows(betas, lmap, L, fill=0.0),
+                alignment.relayout_rows(std_errs, lmap, L, fill=1.0),
+                alignment.relayout_annotations(annotations, lmap, L))
+            state2 = synthetic.synthetic_state(data2, compact=True)
+        state2 = dataclasses.replace(
+            state2,
+            nat_mu=jax.numpy.zeros_like(state2.nat_mu).at[..., lmap].set(
+                state1.nat_mu),
+            hyper_delta=state1.hyper_delta, L=state1.L,
+            error_scaling=state1.error_scaling, elbo=state1.elbo,
+            running_elbo_delta=state1.running_elbo_delta)
+        sdata = mesh_mod.shard_data(data2, mesh)
+        sstate = mesh_mod.shard_state(state2, mesh)
+        assert sstate.nat_mu.ndim == 3
+        with jax.set_mesh(mesh):
+            st2, pm2 = engine.outer_step(sdata, sstate,
+                                         line_search_rate=2.0)
+    finally:
+        if fused:
+            blocks.enable_pallas(False)
+            engine.outer_step.clear_cache()
+
+    assert np.allclose(np.asarray(pm2)[:, lmap], np.asarray(pm1),
+                       rtol=1e-9, atol=1e-11)
+    assert np.allclose(np.asarray(st2.error_scaling),
+                       np.asarray(st1.error_scaling), rtol=1e-9)
     pads = np.setdiff1d(np.arange(L), lmap)
     assert np.all(np.asarray(pm2)[:, pads] == 0)
 
