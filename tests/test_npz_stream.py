@@ -71,6 +71,85 @@ def test_vi_sigma_chunks_match_property():
     assert len(list(vi.vi_sigma_chunks(chunk_k=2))) == 3   # 5 comps / 2
 
 
+def _small_fit(num_its=4, scale_se=False, seed=7):
+    from vilma_tpu.inference import engine
+    from vilma_tpu.utils import synthetic
+    np.random.seed(seed)
+    data = synthetic.synthetic_problem(num_loci=96, num_pops=2,
+                                       num_components=4, block_size=32,
+                                       scale_se=scale_se)
+    covs = np.linalg.inv(np.asarray(data.mixture_prec))
+    return engine.MultiPopVI(
+        marginal_effects=np.asarray(data.marginal_effects),
+        std_errs=np.asarray(data.std_errs), ld_mats=[data.ld[0]] * 2,
+        mixture_covs=covs, annotations=np.ones((96, 1)),
+        checkpoint=False, gwas_N=np.full(2, 1e5),
+        init_hg=np.full(2, 0.3), num_its=num_its, scale_se=scale_se,
+        output='unused')
+
+
+import pytest
+
+
+@pytest.mark.parametrize('scale_se', [False, True])
+def test_streamed_outputs_match_materialized(tmp_path, monkeypatch,
+                                             scale_se):
+    """With the stream threshold forced to zero (as if the problem were
+    genome-scale), the whole output surface — dump_spec streams,
+    posterior moments, elbo, checkpoint resume — must agree with the
+    materialized small-problem path."""
+    from vilma_tpu.inference import engine
+
+    # materialized reference values
+    vi = _small_fit(scale_se=scale_se)
+    st = vi.optimize()
+    want = vi.create_dump_dict(st)
+    want_pm = vi.real_posterior_mean(st)
+    want_pv = vi.real_posterior_variance(st)
+    want_elbo = vi.elbo_value(st)
+
+    # identical fit on the streamed-output path
+    monkeypatch.setattr(engine, '_STREAM_OUTPUT_BYTES', 0)
+    vi2 = _small_fit(scale_se=scale_se)
+    assert vi2._stream_big()
+    st2 = vi2.optimize()
+    assert st2.vi_mu is None and st2.nat_mu is not None  # stayed compact
+    arrays, streams = vi2.dump_spec(st2)
+    assert {n for n, *_ in streams} == {'vi_mu', 'vi_delta'}
+    out = tmp_path / 'streamed.npz'
+    save_npz_stream(out, arrays, streams)
+    got = np.load(out)
+    assert sorted(got.files) == sorted(want.keys())
+    for key in want:
+        assert np.allclose(got[key], want[key], rtol=1e-9,
+                           atol=1e-12), key
+    assert np.allclose(vi2.real_posterior_mean(st2), want_pm,
+                       rtol=1e-9, atol=1e-12)
+    assert np.allclose(vi2.real_posterior_variance(st2), want_pv,
+                       rtol=1e-9, atol=1e-12)
+    assert np.isclose(vi2.elbo_value(st2), want_elbo, rtol=1e-9)
+
+    # resume through the streamed checkpoint (memmap member reader)
+    vi3 = _small_fit(scale_se=scale_se)
+    restored = vi3._state_from_checkpoint(np.load(out))
+    assert restored.nat_mu is not None
+    assert np.isclose(vi3.elbo_value(restored), want_elbo, rtol=1e-8)
+
+
+def test_npz_member_memmap_roundtrip(tmp_path):
+    from vilma_tpu.utils.npz_stream import npz_member_memmap
+    rng = np.random.default_rng(0)
+    arr = rng.standard_normal((5, 3, 7))
+    path = tmp_path / 'x.npz'
+    np.savez(path, arr=arr, other=np.arange(4))
+    mm = npz_member_memmap(str(path), 'arr')
+    assert mm is not None and mm.shape == arr.shape
+    assert np.array_equal(np.asarray(mm), arr)
+    # the np.load-handle form works too
+    mm2 = npz_member_memmap(np.load(path), 'other')
+    assert np.array_equal(np.asarray(mm2), np.arange(4))
+
+
 def _schema(tmp_path, sizes):
     rng = np.random.default_rng(0)
     root = str(tmp_path / 'schema')

@@ -458,28 +458,30 @@ def main(args):
         jax.profiler.stop_trace()
 
     # every rank must run these (they all-gather sharded arrays in
-    # multi-host runs); only the file writes belong to rank 0
-    to_save = elbo.create_dump_dict(state)
+    # multi-host runs); only the file writes belong to rank 0.
+    # Genome-scale fits stream the [K, *, I]-shaped members (vi_mu,
+    # vi_delta, vi_sigma) into the .npz in bounded chunks — with a
+    # production mixture grid those arrays are tens of GB and a
+    # materialized write would OOM the host (engine.dump_spec /
+    # vi_sigma_chunks, utils/npz_stream.py)
+    to_save, streams = elbo.dump_spec(state)
     posterior_means = elbo.real_posterior_mean(state)
     posterior_vars = elbo.real_posterior_variance(state)
-    # vi_sigma streams into the .npz in bounded component chunks (it is
-    # the one output whose full materialization does not fit host RAM at
-    # genome scale with production grids — engine.vi_sigma_chunks)
-    streamed = []
     if args.save_vi_sigma:
-        dtype_out = np.dtype(np.asarray(to_save['vi_mu']).dtype)
-        streamed = [('vi_sigma',
-                     (elbo.num_mix, elbo.num_pops, elbo.num_pops,
-                      elbo.num_loci), dtype_out, elbo.vi_sigma_chunks())]
+        dtype_out = np.dtype(elbo.data.marginal_effects.dtype)
+        streams = streams + [
+            ('vi_sigma',
+             (elbo.num_mix, elbo.num_pops, elbo.num_pops,
+              elbo.num_loci), dtype_out, elbo.vi_sigma_chunks())]
     if jax.process_index() != 0:
         # multi-host: every rank joins the chunk computes (each fetch
         # all-gathers); rank 0 alone writes the files
-        if args.save_vi_sigma:
-            for _ in elbo.vi_sigma_chunks():
+        for _, _, _, chunk_iter in streams:
+            for _ in chunk_iter:
                 pass
         return
     from vilma_tpu.utils.npz_stream import save_npz_stream
-    save_npz_stream(args.output, to_save, streamed)
+    save_npz_stream(args.output, to_save, streams)
 
     for name, posterior in zip(names, posterior_means):
         variants['posterior_' + name] = posterior

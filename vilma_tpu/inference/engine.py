@@ -267,20 +267,38 @@ elbo_jit = jax.jit(
     elbo(data, sigma, error_scaling, vi_mu, vi_delta, hyper_delta))
 
 
+def _minimal_state(error_scaling, nat_mu, hyper_delta):
+    """A VIState carrying only what the compact objective reads."""
+    return VIState(vi_mu=None, vi_delta=None, hyper_delta=hyper_delta,
+                   error_scaling=error_scaling, nat_grad_vi_delta=None,
+                   sigma=None, L=None, elbo=None,
+                   running_elbo_delta=None, num_err=None, nat_mu=nat_mu)
+
+
 @jax.jit
 def elbo_compact_jit(data, error_scaling, nat_mu, hyper_delta):
-    """ELBO of a compact state (everything derived in-graph)."""
-    sigma, vi_mu, vi_delta = _derive_params(data, error_scaling, nat_mu,
-                                            hyper_delta)
-    return elbo(data, sigma, error_scaling, vi_mu, vi_delta, hyper_delta)
+    """ELBO of a compact state.
+
+    Routed through `_objective_compact` (the beta objective equals the
+    full ELBO in MultiPopVI) rather than `_derive_params` + `elbo`: the
+    derive route materializes vi_mu/vi_delta as real [K, *, I] arrays,
+    which at production mixture grids is tens of GB (582 components x
+    6M SNPs = 27.9 GB — observed as a compile-time OOM), while the
+    objective route runs the fused prologue / K-fused staging."""
+    st = _minimal_state(error_scaling, nat_mu, hyper_delta)
+    return _objective_compact(data, st, nat_mu, hyper_delta)[0]
 
 
 @jax.jit
 def _scaled_posterior_mean_compact(data, error_scaling, nat_mu,
                                    hyper_delta):
-    _, vi_mu, vi_delta = _derive_params(data, error_scaling, nat_mu,
-                                        hyper_delta)
-    return posterior_mean(vi_mu, vi_delta) * data.scalings
+    """Posterior mean of a compact state, without materializing the
+    [K, *, I] derived family (see elbo_compact_jit; the extra LD matvec
+    the objective route performs only runs at init/checkpoint
+    boundaries)."""
+    st = _minimal_state(error_scaling, nat_mu, hyper_delta)
+    _, pm, _ = _objective_compact(data, st, nat_mu, hyper_delta)
+    return pm * data.scalings
 
 
 def nat_to_not_vi_delta(data, sigma, error_scaling, vi_mu,
@@ -572,7 +590,8 @@ def _prologue_fused(data, error_scaling, nat_mu, hyper_delta, interpret):
 
 
 def _objective_compact(data, st, nat_mu, hyper_delta):
-    """(objective, post_means, linked) of a compact parameter point.
+    """(objective, post_means, linked) of a compact parameter point
+    (st supplies only error_scaling; see `_objective_compact_at`).
 
     Hand-staged rather than routed through `_derive_params` +
     `_beta_objective_terms`: the generic route leaves XLA free to
@@ -1249,6 +1268,66 @@ _materialize_sigma_jit = jax.jit(
     sigma_mod.materialize_sigma(
         mixture_prec, scaled_ld_diags / error_scaling[:, None]))
 
+
+@jax.jit
+def _nat_chunk_jit(prec_c, scaled_ld_diags, error_scaling, vi_mu_c):
+    """Natural means for a K-chunk: (prec_k + diag) @ vi_mu_k (the
+    chunked twin of compact_nat_mu_k, for streamed checkpoint resume)."""
+    dterm = scaled_ld_diags / error_scaling[:, None]
+    return sigma_mod.apply_precision(prec_c, dterm, vi_mu_c)
+
+
+@jax.jit
+def _vi_mu_chunk_jit(prec_c, scaled_ld_diags, error_scaling, nat_c):
+    """vi_mu for a K-chunk of components: sigma_k @ nat_k, closed form.
+    nat_c: [P, I] (shared; broadcast over the chunk) or [kc, P, I]."""
+    dterm = scaled_ld_diags / error_scaling[:, None]
+    if nat_c.ndim == 2:
+        nat_c = jnp.broadcast_to(nat_c[None],
+                                 (prec_c.shape[0],) + nat_c.shape)
+    return sigma_mod.apply_sigma(prec_c, dterm, nat_c)
+
+
+@jax.jit
+def _derived_cols_jit(mixture_prec, log_det, hyper_delta, error_scaling,
+                      nat_mu, scaled_ld_diags, annotations, idx):
+    """(vi_delta [C, K], post_mean [P, C], post_var [P, C]) of the
+    compact state at SNP columns `idx` — the bounded-memory building
+    block for genome-scale output streaming (a production mixture grid's
+    materialized vi_mu/vi_delta are tens of GB; see MultiPopVI.dump_spec).
+    Same closed forms as `_objective_compact`'s staging."""
+    nat_c = nat_mu[..., idx]
+    dt_c = scaled_ld_diags[:, idx] / error_scaling[:, None]
+    ann_c = annotations[idx]
+    natvd = kernels.fast_vi_delta_grad(hyper_delta, log_det, ann_c)
+    ex = sigma_mod.compact_exprs(mixture_prec, dt_c, nat_c)
+    addenda = ex.log_det_sigma + ex.quad
+    li = 0.5 * (addenda[:-1] - addenda[-1:]) + natvd
+    vi_delta = kernels.invert_nat_cat_2D(li)                 # [K, C]
+    pm = jnp.einsum('kpc,kc->pc', ex.mu, vi_delta)
+    second = jnp.einsum('kpc,kc->pc', ex.diag + ex.mu ** 2, vi_delta)
+    return vi_delta.T, pm, second - pm ** 2
+
+# outputs whose derived [K, *, I] members exceed this stream to disk in
+# chunks instead of materializing (MultiPopVI.dump_spec / _stream_big)
+_STREAM_OUTPUT_BYTES = 1 << 28
+
+
+def _write_npz_all_ranks(path, arrays, streams):
+    """Write an .npz whose streamed members are computed chunk-by-chunk.
+
+    Multi-host: every rank must consume the stream generators (each
+    chunk's fetch all-gathers across processes), but only rank 0 writes
+    the file."""
+    if jax.process_index() == 0:
+        from vilma_tpu.utils.npz_stream import save_npz_stream
+        save_npz_stream(path, arrays, streams)
+    else:
+        for _, _, _, chunk_iter in streams:
+            for _ in chunk_iter:
+                pass
+
+
 class MultiPopVI:
     """Drop-in equivalent of the reference MultiPopVI
     (variational_inference.py:567-889): same constructor surface, same
@@ -1384,6 +1463,95 @@ class MultiPopVI:
                 self.state.error_scaling)
             yield _fetch(part)[..., self._out_index]
 
+    # -- genome-scale output streaming (see dump_spec) ---------------------
+    def _stream_big(self):
+        """Whether derived [K, *, I] outputs exceed the in-memory budget
+        (production mixture grids at genome scale: 582 components x 6M
+        SNPs is ~28 GB of vi_mu alone)."""
+        itemsize = np.dtype(self.data.marginal_effects.dtype).itemsize
+        return (self._compact
+                and self.num_mix * self.num_pops * self._padded_loci
+                * itemsize > _STREAM_OUTPUT_BYTES)
+
+    def vi_mu_chunks(self, st=None, chunk_k=None):
+        """Yield vi_mu in [<=chunk_k, P, I] component chunks derived
+        from the compact state (vi_mu_k = sigma_k @ nat_k)."""
+        st = st or self.state
+        assert st.nat_mu is not None
+        K, P = self.num_mix, self.num_pops
+        dtype = np.dtype(self.data.marginal_effects.dtype)
+        if chunk_k is None:
+            per_k = max(self._padded_loci * P * dtype.itemsize, 1)
+            chunk_k = max(1, min(K, (256 << 20) // per_k))
+        prec = _fetch(self.data.mixture_prec)
+        for k0 in range(0, K, chunk_k):
+            nat = (st.nat_mu if st.nat_mu.ndim == 2
+                   else st.nat_mu[k0:k0 + chunk_k])
+            part = _vi_mu_chunk_jit(prec[k0:k0 + chunk_k],
+                                    self.data.scaled_ld_diags,
+                                    st.error_scaling, nat)
+            yield _fetch(part)[..., self._out_index]
+
+    def _derived_col_chunks(self, st, chunk_i=None):
+        """Yield (vi_delta [c, K], pm [P, c], pv [P, c]) over chunks of
+        the ORIGINAL variant order (bounded device memory; the chunk
+        gathers run under the mesh in multi-host fits)."""
+        st = st or self.state
+        assert st.nat_mu is not None
+        K, P, n = self.num_mix, self.num_pops, self.num_loci
+        if chunk_i is None:
+            chunk_i = max(1024, (64 << 20) // max(K * P * 4, 1))
+        chunk_i = min(chunk_i, n)
+        ix = self._out_index
+        for i0 in range(0, n, chunk_i):
+            idx = ix[i0:i0 + chunk_i]
+            real = idx.shape[0]
+            if real < chunk_i:
+                # fixed gather length keeps ONE compiled program; the
+                # padded tail columns are discarded below
+                idx = np.concatenate(
+                    [idx, np.full(chunk_i - real, idx[-1],
+                                  dtype=idx.dtype)])
+            vd, pm, pv = _derived_cols_jit(
+                self.data.mixture_prec, self.data.log_det,
+                st.hyper_delta, st.error_scaling, st.nat_mu,
+                self.data.scaled_ld_diags, self.data.annotations,
+                jnp.asarray(idx))
+            yield (_fetch(vd)[:real], _fetch(pm)[:, :real],
+                   _fetch(pv)[:, :real])
+
+    def vi_delta_chunks(self, st=None, chunk_i=None):
+        """Yield the [I, K] (reference-layout) vi_delta in row chunks."""
+        for vd, _, _ in self._derived_col_chunks(st, chunk_i):
+            yield vd
+
+    def dump_spec(self, st=None):
+        """(arrays, streams) covering the reference checkpoint/.npz key
+        set (vi_mu, vi_delta, hyper_delta, error_scaling, scalings —
+        reference variational_inference.py:333-338).
+
+        Small problems return everything materialized in `arrays`
+        (exactly create_dump_dict); genome-scale compact fits whose
+        derived [K, *, I] members exceed the budget stream vi_mu
+        (component chunks) and vi_delta (variant chunks) instead, for
+        utils/npz_stream.save_npz_stream."""
+        st = st or self.state
+        if st.nat_mu is None or not self._stream_big():
+            return self.create_dump_dict(st), []
+        ix = self._out_index
+        arrays = {
+            'hyper_delta': _fetch(st.hyper_delta),
+            'error_scaling': _fetch(st.error_scaling),
+            'scalings': _fetch(self.data.scalings)[:, ix],
+        }
+        dtype = np.dtype(self.data.marginal_effects.dtype)
+        K, P, n = self.num_mix, self.num_pops, self.num_loci
+        streams = [
+            ('vi_mu', (K, P, n), dtype, self.vi_mu_chunks(st)),
+            ('vi_delta', (n, K), dtype, self.vi_delta_chunks(st)),
+        ]
+        return arrays, streams
+
     def _fresh_state(self, error_scaling=None):
         dtype = self.data.marginal_effects.dtype
         # host leaves stay numpy until they enter a jit (multi-host: numpy
@@ -1472,22 +1640,20 @@ class MultiPopVI:
             logging.warning('The checkpoint carries no "error_scaling" '
                             'entry; defaulting all error scalings to 1.')
         st = self._fresh_state(error_scaling)
-        nat_vd = _vi_delta_grad_jit(
-            np.asarray(loaded_checkpoint['hyper_delta'], dtype=dtype),
-            self.data.log_det, self.data.annotations)
-        vi_mu_in = np.asarray(loaded_checkpoint['vi_mu'], dtype=dtype)
-        vi_delta_in = np.asarray(loaded_checkpoint['vi_delta'],
-                                 dtype=dtype)
-        K = vi_mu_in.shape[0]
+        hyper = np.asarray(loaded_checkpoint['hyper_delta'], dtype=dtype)
         ix = self._out_index
+        if self._compact and self._stream_big():
+            # genome-scale compact resume: the checkpoint's vi_mu member
+            # is tens of GB — recover the natural mean(s) in bounded
+            # chunks straight off the uncompressed zip member
+            nat = self._nat_from_checkpoint_streamed(loaded_checkpoint,
+                                                     st, dtype)
+            return dataclasses.replace(st, nat_mu=nat, hyper_delta=hyper)
+        vi_mu_in = np.asarray(loaded_checkpoint['vi_mu'], dtype=dtype)
+        K = vi_mu_in.shape[0]
         vi_mu = np.zeros((K, self.num_pops, self._padded_loci),
                          dtype=dtype)
         vi_mu[..., ix] = vi_mu_in
-        # uniform pad rows keep log(vi_delta) finite; pads are masked out
-        # of every reduction and rewritten by the first update
-        vi_delta = np.full((K, self._padded_loci), 1.0 / K, dtype=dtype)
-        vi_delta[:, ix] = vi_delta_in.T
-        hyper = np.asarray(loaded_checkpoint['hyper_delta'], dtype=dtype)
         if self._compact:
             # recover the natural mean(s) from the stored vi_mu (exact
             # for any checkpoint this engine or the reference writes;
@@ -1496,6 +1662,14 @@ class MultiPopVI:
             nat = jax.jit(recover)(self.data, st.error_scaling,
                                    jnp.asarray(vi_mu))
             return dataclasses.replace(st, nat_mu=nat, hyper_delta=hyper)
+        nat_vd = _vi_delta_grad_jit(hyper, self.data.log_det,
+                                    self.data.annotations)
+        vi_delta_in = np.asarray(loaded_checkpoint['vi_delta'],
+                                 dtype=dtype)
+        # uniform pad rows keep log(vi_delta) finite; pads are masked out
+        # of every reduction and rewritten by the first update
+        vi_delta = np.full((K, self._padded_loci), 1.0 / K, dtype=dtype)
+        vi_delta[:, ix] = vi_delta_in.T
         return dataclasses.replace(
             st,
             vi_mu=vi_mu,
@@ -1503,15 +1677,61 @@ class MultiPopVI:
             hyper_delta=hyper,
             nat_grad_vi_delta=nat_vd)
 
+    def _nat_from_checkpoint_streamed(self, loaded_checkpoint, st, dtype):
+        """Bounded-memory natural-mean recovery from a genome-scale
+        checkpoint (see _state_from_checkpoint). Non-scale_se states
+        need only vi_mu[0] (compact_nat_mu); scale_se states process the
+        member in K-chunks (compact_nat_mu_k chunk by chunk)."""
+        from vilma_tpu.utils.npz_stream import npz_member_memmap
+        mm = npz_member_memmap(loaded_checkpoint, 'vi_mu')
+        if mm is None:
+            logging.warning('checkpoint vi_mu member is not mappable '
+                            '(compressed?); falling back to a '
+                            'materialized read')
+            mm = loaded_checkpoint['vi_mu']
+        ix = self._out_index
+        P = self.num_pops
+        if not self.scale_se:
+            vi0 = np.zeros((1, P, self._padded_loci), dtype=dtype)
+            vi0[..., ix] = np.asarray(mm[0], dtype=dtype)
+            return jax.jit(compact_nat_mu)(self.data, st.error_scaling,
+                                           jnp.asarray(vi0))
+        K = self.num_mix
+        itemsize = np.dtype(dtype).itemsize
+        chunk = max(1, (256 << 20)
+                    // max(P * self._padded_loci * itemsize, 1))
+        prec = _fetch(self.data.mixture_prec)
+        nat = np.empty((K, P, self._padded_loci), dtype=dtype)
+        for k0 in range(0, K, chunk):
+            part = np.zeros((min(chunk, K - k0), P, self._padded_loci),
+                            dtype=dtype)
+            part[..., ix] = np.asarray(mm[k0:k0 + chunk], dtype=dtype)
+            nat[k0:k0 + chunk] = np.asarray(_nat_chunk_jit(
+                prec[k0:k0 + chunk], self.data.scaled_ld_diags,
+                st.error_scaling, jnp.asarray(part)))
+        return jnp.asarray(nat)
+
     def elbo_value(self, st=None):
         st = st or self.state
         with self._mesh_ctx():
+            if (st.nat_mu is not None and st.vi_mu is None
+                    and self._stream_big()):
+                return float(elbo_compact_jit(
+                    self.data, st.error_scaling, st.nat_mu,
+                    st.hyper_delta))
             st = materialize_state(self.data, st)
             return float(elbo_jit(self.data, st.sigma, st.error_scaling,
                                   st.vi_mu, st.vi_delta, st.hyper_delta))
 
     def create_dump_dict(self, st=None):
         st = st or self.state
+        if (st.nat_mu is not None and st.vi_mu is None
+                and self._stream_big()):
+            raise MemoryError(
+                'materializing the derived vi_mu/vi_delta of this '
+                'problem needs tens of GB; use dump_spec() + '
+                'utils/npz_stream.save_npz_stream (fit does this '
+                'automatically)')
         with self._mesh_ctx():
             st = materialize_state(self.data, st)
         ix = self._out_index
@@ -1523,9 +1743,29 @@ class MultiPopVI:
             'scalings': _fetch(self.data.scalings)[:, ix],
         }
 
+    def _streamed_moments(self, st):
+        """(posterior mean, variance) in original order, assembled from
+        bounded chunks (genome-scale compact fits; [P, n] is small even
+        when [K, *, I] is not)."""
+        P, n = self.num_pops, self.num_loci
+        dtype = np.dtype(self.data.marginal_effects.dtype)
+        pm = np.empty((P, n), dtype=dtype)
+        pv = np.empty((P, n), dtype=dtype)
+        pos = 0
+        for _, pm_c, pv_c in self._derived_col_chunks(st):
+            c = pm_c.shape[1]
+            pm[:, pos:pos + c] = pm_c
+            pv[:, pos:pos + c] = pv_c
+            pos += c
+        scalings = _fetch(self.data.scalings)[:, self._out_index]
+        return pm * scalings, pv * scalings ** 2
+
     def real_posterior_mean(self, st=None):
         st = st or self.state
         with self._mesh_ctx():
+            if (st.nat_mu is not None and st.vi_mu is None
+                    and self._stream_big()):
+                return self._streamed_moments(st)[0]
             st = materialize_state(self.data, st)
             return _fetch(_scaled_posterior_mean(
                 st.vi_mu, st.vi_delta,
@@ -1534,6 +1774,9 @@ class MultiPopVI:
     def real_posterior_variance(self, st=None):
         st = st or self.state
         with self._mesh_ctx():
+            if (st.nat_mu is not None and st.vi_mu is None
+                    and self._stream_big()):
+                return self._streamed_moments(st)[1]
             st = materialize_state(self.data, st)
             return _fetch(_scaled_posterior_variance(
                 st.vi_mu, st.vi_delta, st.sigma,
@@ -1576,9 +1819,8 @@ class MultiPopVI:
         while num_its < self.num_its and not converged:
             if num_its % self.checkpoint_freq == 0 and self.checkpoint:
                 fname = '{}.{}'.format(self.checkpoint_path, num_its)
-                dump = self.create_dump_dict(st)
-                if jax.process_index() == 0:
-                    np.savez(fname, **dump)
+                arrays, streams = self.dump_spec(st)
+                _write_npz_all_ranks(fname, arrays, streams)
                 ckp_post_mean = _pm(st)
             st, new_post_mean = outer_step_donated(self.data, st,
                                                    line_search_rate=2.0)
@@ -1612,6 +1854,13 @@ class MultiPopVI:
         if num_its == self.num_its:
             logging.warning('Failed to converge')
         logging.info('Optimization ran for %d iterations', num_its)
+        if self._stream_big() and st.nat_mu is not None:
+            # materializing [K, *, I] derived arrays at production-grid
+            # genome scale is tens of GB — keep the compact state;
+            # outputs go through the chunked/streamed paths
+            # (dump_spec, _streamed_moments, vi_sigma_chunks)
+            self.state = st
+            return self.state
         # expose a materialized state (vi_mu/vi_delta/sigma filled) so
         # downstream consumers and tests see the full parameter set; the
         # compact nat_mu is kept alongside, so re-stepping this state

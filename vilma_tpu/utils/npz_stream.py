@@ -16,6 +16,54 @@ import zipfile
 import numpy as np
 
 
+def npz_member_memmap(path_or_npz, name):
+    """A read-only np.memmap view of one member of an UNCOMPRESSED .npz.
+
+    np.load materializes each accessed member in host RAM — a 582-
+    component 6M-SNP checkpoint's vi_mu member alone is ~28 GB. Both
+    np.savez and `save_npz_stream` write ZIP_STORED (uncompressed)
+    members, whose payload bytes are contiguous in the file, so the
+    array can be mapped instead: resolve the member's data offset via
+    its local header, parse the .npy header, and mmap the rest.
+
+    Accepts a path or an open np.lib.npyio.NpzFile (its backing file
+    name is reused). Returns None when mapping is impossible (member
+    compressed, Fortran order, or no backing file) — callers fall back
+    to materialized reads.
+    """
+    if hasattr(path_or_npz, 'fid') and hasattr(path_or_npz.fid, 'name'):
+        path = path_or_npz.fid.name
+    elif isinstance(path_or_npz, (str, bytes)):
+        path = path_or_npz
+    else:
+        return None
+    member = name if name.endswith('.npy') else name + '.npy'
+    try:
+        with zipfile.ZipFile(path) as zf:
+            info = zf.getinfo(member)
+            if info.compress_type != zipfile.ZIP_STORED:
+                return None
+            with open(path, 'rb') as fh:
+                fh.seek(info.header_offset)
+                local = fh.read(30)
+                if local[:4] != b'PK\x03\x04':
+                    return None
+                name_len = int.from_bytes(local[26:28], 'little')
+                extra_len = int.from_bytes(local[28:30], 'little')
+                data_off = (info.header_offset + 30 + name_len
+                            + extra_len)
+                fh.seek(data_off)
+                version = np.lib.format.read_magic(fh)
+                shape, fortran, dtype = \
+                    np.lib.format._read_array_header(fh, version)
+                if fortran:
+                    return None
+                return np.memmap(path, mode='r', dtype=dtype,
+                                 shape=shape, offset=fh.tell())
+    except (KeyError, OSError, ValueError):
+        return None
+
+
 def save_npz_stream(path, arrays, streamed=()):
     """Write an .npz readable by np.load.
 
