@@ -591,7 +591,8 @@ def _prologue_fused(data, error_scaling, nat_mu, hyper_delta, interpret):
 
 def _objective_compact(data, st, nat_mu, hyper_delta):
     """(objective, post_means, linked) of a compact parameter point
-    (st supplies only error_scaling; see `_objective_compact_at`).
+    (st supplies only error_scaling — `_minimal_state` builds a
+    sufficient stand-in for callers outside the step).
 
     Hand-staged rather than routed through `_derive_params` +
     `_beta_objective_terms`: the generic route leaves XLA free to

@@ -54,8 +54,14 @@ def npz_member_memmap(path_or_npz, name):
                             + extra_len)
                 fh.seek(data_off)
                 version = np.lib.format.read_magic(fh)
-                shape, fortran, dtype = \
-                    np.lib.format._read_array_header(fh, version)
+                if version == (1, 0):
+                    shape, fortran, dtype = \
+                        np.lib.format.read_array_header_1_0(fh)
+                elif version == (2, 0):
+                    shape, fortran, dtype = \
+                        np.lib.format.read_array_header_2_0(fh)
+                else:
+                    return None
                 if fortran:
                     return None
                 return np.memmap(path, mode='r', dtype=dtype,
