@@ -13,7 +13,10 @@ contains no O(I) collectives. Pass layout=gather as the 7th argument to
 exercise the global-gather fallback instead.
 
 Usage: distributed_worker.py <pid> <nproc> <port> <schema> <expected.npy>
-       [devices_per_process] [layout]
+       [devices_per_process] [layout] [model]
+
+model=scale_se runs a --learn-scaling fit (the per-component compact
+[K, P, I] natural-mean state sharded over the mesh).
 """
 import os
 import sys
@@ -24,6 +27,7 @@ def main():
     schema, expected_path = sys.argv[4], sys.argv[5]
     n_dev = int(sys.argv[6]) if len(sys.argv) > 6 else 4
     layout = sys.argv[7] if len(sys.argv) > 7 else 'shard-local'
+    scale_se = (sys.argv[8] if len(sys.argv) > 8 else '') == 'scale_se'
 
     os.environ['JAX_PLATFORMS'] = 'cpu'
     os.environ['XLA_FLAGS'] = (
@@ -83,7 +87,8 @@ def main():
                     ld_mats=[ld, ld], annotations=annotations,
                     mixture_covs=covs, checkpoint=False,
                     gwas_N=np.full(2, 1e5), init_hg=np.full(2, 0.3),
-                    num_its=5, mesh=mesh, out_index=out_index)
+                    num_its=15 if scale_se else 5, mesh=mesh,
+                    out_index=out_index, scale_se=scale_se)
 
     vi.optimize()
     got = vi.real_posterior_mean()

@@ -138,7 +138,8 @@ def _free_port():
 
 
 def _cluster_fit_matches_single_process(tmp_path, nproc, ndev,
-                                        layout='shard-local'):
+                                        layout='shard-local',
+                                        scale_se=False):
     """nproc-process jax.distributed CPU cluster (ndev simulated devices
     each) == single-process fit."""
     # 8 blocks, 512 SNPs: divisible by the 8-device global mesh
@@ -161,7 +162,7 @@ def _cluster_fit_matches_single_process(tmp_path, nproc, ndev,
                     ld_mats=[ld, ld], annotations=annotations,
                     mixture_covs=covs, checkpoint=False,
                     gwas_N=np.full(2, 1e5), init_hg=np.full(2, 0.3),
-                    num_its=5)
+                    num_its=15 if scale_se else 5, scale_se=scale_se)
     vi.optimize()
     expected_path = str(tmp_path / 'expected.npy')
     np.save(expected_path, vi.real_posterior_mean())
@@ -176,7 +177,8 @@ def _cluster_fit_matches_single_process(tmp_path, nproc, ndev,
     env.pop('XLA_FLAGS', None)
     procs = [subprocess.Popen(
         [sys.executable, worker, str(pid), str(nproc), str(port), schema,
-         expected_path, str(ndev), layout],
+         expected_path, str(ndev), layout,
+         'scale_se' if scale_se else 'plain'],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         text=True) for pid in range(nproc)]
     outs = []
@@ -205,6 +207,14 @@ def test_four_process_fit_matches_single_process(tmp_path):
     processes, two simulated devices each, one 8-way global snp mesh,
     shard-local layout."""
     _cluster_fit_matches_single_process(tmp_path, nproc=4, ndev=2)
+
+
+@pytest.mark.slow
+def test_two_process_scale_se_fit_matches_single_process(tmp_path):
+    """--learn-scaling on the cluster path: the per-component compact
+    [K, P, I] state shards over the mesh, EM events included."""
+    _cluster_fit_matches_single_process(tmp_path, nproc=2, ndev=4,
+                                        scale_se=True)
 
 
 @pytest.mark.slow
