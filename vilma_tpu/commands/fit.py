@@ -288,6 +288,10 @@ def main(args):
     plan = None
     n_pad = None
     if multiproc:
+        if mesh is None:
+            raise ValueError('--distributed needs a device mesh: pass '
+                             '--mesh snp=<total devices across all '
+                             'processes>')
         from vilma_tpu.parallel import distributed
         specs = list(zip(args.ld_schema.split(','), cohort_missing))
         plan = distributed.plan_sharded_load(specs, variants,
