@@ -134,16 +134,24 @@ def test_compact_trajectory_pallas_interpret_matches_xla():
 
 def test_scale_se_trajectory_pallas_interpret_matches_xla():
     """Outer steps of a --learn-scaling fit (the per-component [K, P, I]
-    compact state, EM events included) with every fused kernel enabled
-    track the XLA path."""
+    compact state) with every fused kernel enabled track the XLA path —
+    running until the error-scaling EM has fired, so the fused-pv EM
+    branch (engine._update_error_scaling_compact) is covered."""
     data = synthetic.synthetic_problem(num_loci=256, num_pops=2,
                                        num_components=4, block_size=64,
                                        num_annotations=2, scale_se=True)
 
     def run():
         st = synthetic.synthetic_state(data, compact=True)
-        for _ in range(8):
+        em_at = None
+        for it in range(40):
             st, pm = engine.outer_step(data, st, line_search_rate=2.0)
+            if em_at is None and not np.allclose(
+                    np.asarray(st.error_scaling), 1.0):
+                em_at = it
+            if em_at is not None and it >= em_at + 2:
+                break
+        assert em_at is not None, 'EM never fired'
         return (np.asarray(pm), float(st.elbo),
                 np.asarray(st.error_scaling))
 

@@ -784,14 +784,23 @@ def _update_error_scaling_compact(data, st, orig_obj, post_means, linked):
     remain exactly the reference trajectory's
     (tests/test_reference_parity.py pins this end to end)."""
     dterm_old = _diag_term(data, st.error_scaling)
-    ex = sigma_mod.compact_exprs(data.mixture_prec, dterm_old, st.nat_mu)
-    natvd = kernels.fast_vi_delta_grad(st.hyper_delta, data.log_det,
-                                       data.annotations)
-    addenda = ex.log_det_sigma + ex.quad
-    li = 0.5 * (addenda[:-1] - addenda[-1:]) + natvd
-    vi_delta = kernels.invert_nat_cat_2D(li)
-    second = jnp.einsum('kpi,ki->pi', ex.diag + ex.mu ** 2, vi_delta)
-    post_vars = second - post_means ** 2
+    use_pk, interp = blocks_mod.pallas_flags()
+    if use_pk and (interp or _prologue_supported(data, st.nat_mu)):
+        # one fused pass over the state instead of the XLA [K, *, I]
+        # derivation (post_vars of the CURRENT params, pre-EM)
+        _, post_vars, _ = _prologue_fused(
+            data, st.error_scaling, st.nat_mu, st.hyper_delta, interp)
+        ex = None
+    else:
+        ex = sigma_mod.compact_exprs(data.mixture_prec, dterm_old,
+                                     st.nat_mu)
+        natvd = kernels.fast_vi_delta_grad(st.hyper_delta, data.log_det,
+                                           data.annotations)
+        addenda = ex.log_det_sigma + ex.quad
+        li = 0.5 * (addenda[:-1] - addenda[-1:]) + natvd
+        vi_delta = kernels.invert_nat_cat_2D(li)
+        second = jnp.einsum('kpi,ki->pi', ex.diag + ex.mu ** 2, vi_delta)
+        post_vars = second - post_means ** 2
 
     scaled_mu = post_means / data.std_errs
     quad = jnp.einsum('pi,pi->p', scaled_mu, linked)
@@ -802,11 +811,14 @@ def _update_error_scaling_compact(data, st, orig_obj, post_means, linked):
         + jnp.sum(data.ld_diags * post_vars * data.std_errs ** -2, axis=1)
     ) / data.ld_ranks
 
-    # re-base: vi_mu (= ex.mu = sigma_old @ nat) is unchanged by the EM;
+    # re-base: vi_mu (= sigma_old @ nat) is unchanged by the EM;
     # express it in the NEW natural coordinates
+    vi_mu = (ex.mu if ex is not None
+             else sigma_mod.apply_sigma(data.mixture_prec, dterm_old,
+                                        _nat_k(data, st.nat_mu)))
     dterm_new = _diag_term(data, new_scaling)
     nat_new = sigma_mod.apply_precision(data.mixture_prec, dterm_new,
-                                        ex.mu)
+                                        vi_mu)
     st = dataclasses.replace(st, error_scaling=new_scaling,
                              nat_mu=nat_new)
     new_obj, pm, lk = _objective_compact(data, st, nat_new,
