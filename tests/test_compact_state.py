@@ -146,6 +146,161 @@ def test_multipopvi_scale_se_compact_resume(tmp_path):
     assert scheme2.elbo_value(st2) >= scheme.elbo_value(st) - 1e-8
 
 
+def test_scale_se_resume_streamed_matches(tmp_path, monkeypatch):
+    """Genome-scale-shaped scale_se resume (the streamed
+    _nat_from_checkpoint_streamed path, forced via tiny thresholds)
+    recovers exactly the same [K, P, I] natural means as the
+    materialized recovery — across multiple K-chunks."""
+    np.random.seed(13)
+    data = synthetic.synthetic_problem(num_loci=128, num_pops=2,
+                                       num_components=5, block_size=32,
+                                       scale_se=True)
+    covs = np.linalg.inv(np.asarray(data.mixture_prec))
+    kw = dict(
+        marginal_effects=np.asarray(data.marginal_effects),
+        std_errs=np.asarray(data.std_errs),
+        ld_mats=[data.ld[0]] * 2,
+        mixture_covs=covs, annotations=np.ones((128, 1)),
+        checkpoint=False, checkpoint_freq=-1, scaled=False,
+        scale_se=True, gwas_N=np.full(2, 1e5), init_hg=np.full(2, 0.3),
+        num_its=12)
+    scheme = engine.MultiPopVI(output=str(tmp_path / 'a'), **kw)
+    st = scheme.optimize()
+    assert not np.allclose(np.asarray(st.error_scaling), 1.0)
+    np.savez(tmp_path / 'ckpt.npz', **scheme.create_dump_dict(st))
+
+    ref_scheme = engine.MultiPopVI(output=str(tmp_path / 'b'), **kw)
+    ref = ref_scheme._state_from_checkpoint(np.load(tmp_path / 'ckpt.npz'))
+
+    # force the streamed path and several K-chunks
+    monkeypatch.setattr(engine, '_STREAM_OUTPUT_BYTES', 1)
+    monkeypatch.setattr(engine, '_RESUME_CHUNK_BYTES',
+                        2 * 2 * 128 * 8)       # 2 components per chunk
+    s_scheme = engine.MultiPopVI(output=str(tmp_path / 'c'), **kw)
+    assert s_scheme._stream_big()
+    restored = s_scheme._state_from_checkpoint(
+        np.load(tmp_path / 'ckpt.npz'))
+    assert restored.nat_mu is not None and restored.nat_mu.ndim == 3
+    assert np.allclose(np.asarray(restored.nat_mu), np.asarray(ref.nat_mu),
+                       rtol=1e-12, atol=1e-15)
+    assert np.allclose(np.asarray(restored.error_scaling),
+                       np.asarray(st.error_scaling))
+
+
+_RESUME_WORKER = r'''
+import resource, sys
+import numpy as np
+
+headroom_mb = int(sys.argv[1])
+mode = sys.argv[2]            # "streamed" | "materialized"
+tmp = sys.argv[3]
+
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+
+from vilma_tpu.inference import engine
+from vilma_tpu.utils import synthetic
+
+K, P, I = 256, 1, 32768
+np.random.seed(0)
+data = synthetic.synthetic_problem(num_loci=I, num_pops=P,
+                                   num_components=2, block_size=128,
+                                   scale_se=True)
+rng = np.random.default_rng(1)
+covs = np.stack([np.eye(P) * s
+                 for s in np.exp(np.linspace(-12, -2, K))])
+kw = dict(
+    marginal_effects=np.asarray(data.marginal_effects),
+    std_errs=np.asarray(data.std_errs),
+    ld_mats=[data.ld[0]] * P,
+    mixture_covs=covs, annotations=np.ones((I, 1)),
+    checkpoint=False, checkpoint_freq=-1, scaled=False,
+    scale_se=True, gwas_N=np.full(P, 1e5), init_hg=np.full(P, 0.3),
+    num_its=5, output=tmp + "/out")
+scheme = engine.MultiPopVI(**kw)
+vi_mu = rng.standard_normal((K, P, I)) * 1e-3
+vi_delta = np.full((I, K), 1.0 / K)
+np.savez(tmp + "/ckpt.npz", vi_mu=vi_mu, vi_delta=vi_delta,
+         hyper_delta=np.full((1, K), 1.0 / K),
+         error_scaling=np.full(P, 1.2), scalings=np.ones((P, I)))
+del vi_mu, vi_delta
+ckpt = np.load(tmp + "/ckpt.npz")
+
+engine._STREAM_OUTPUT_BYTES = 1 << 20
+engine._RESUME_CHUNK_BYTES = 4 << 20
+assert scheme._stream_big()
+
+# warm the jitted recovery paths OUTSIDE the cap so compile workspaces
+# do not count against it, then release those buffers
+warm = scheme._state_from_checkpoint(ckpt)
+del warm
+
+def vmdata_kb():
+    with open("/proc/self/status") as fh:
+        for line in fh:
+            if line.startswith("VmData"):
+                return int(line.split()[1])
+
+soft = (vmdata_kb() + headroom_mb * 1024) * 1024
+resource.setrlimit(resource.RLIMIT_DATA, (soft, soft))
+try:
+    if mode == "streamed":
+        st = scheme._state_from_checkpoint(ckpt)
+        fp = float(jnp.sum(st.nat_mu))
+    else:
+        # the pre-fix behavior: assemble the full [K, P, I] state on the
+        # host, then a second full copy on device
+        from vilma_tpu.parallel.distributed import host_fetch
+        dt = np.float64
+        nat = np.empty((K, P, I), dtype=dt)
+        prec = host_fetch(scheme.data.mixture_prec)
+        mm = ckpt["vi_mu"]
+        for k0 in range(0, K, 16):
+            part = np.asarray(mm[k0:k0 + 16], dtype=dt)
+            nat[k0:k0 + 16] = part
+        fp = float(jnp.sum(jnp.asarray(nat)))
+except MemoryError:
+    print("OOM")
+    sys.exit(0)
+print("OK", fp)
+'''
+
+
+@pytest.mark.slow
+def test_scale_se_resume_bounded_memory(tmp_path):
+    """Hard-cap proof (RLIMIT_DATA, the test_mmap_spill pattern): the
+    streamed scale_se resume holds only the device state + one chunk,
+    while the pre-fix full-host assembly OOMs under the same cap.
+
+    Full state here is 256 x 1 x 32768 f64 = 64 MiB; the streamed path
+    peaks at ~64 MiB (device buffer) + 4 MiB chunks, the materialized
+    path at >= 128 MiB (host copy + device copy)."""
+    import os
+    import subprocess
+    import sys
+
+    def run(mode):
+        env = dict(os.environ)
+        env['PYTHONPATH'] = (os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))) + os.pathsep
+            + env.get('PYTHONPATH', ''))
+        return subprocess.run(
+            [sys.executable, '-c', _RESUME_WORKER, '96', mode,
+             str(tmp_path)],
+            capture_output=True, text=True, timeout=600, env=env)
+
+    out = run('streamed')
+    assert out.stdout.startswith('OK'), (out.stdout, out.stderr[-2000:])
+    out2 = run('materialized')
+    assert not out2.stdout.startswith('OK'), (
+        'RAM cap did not constrain the materialized resume; '
+        'test is vacuous')
+
+
 def test_multipopvi_uses_compact_and_resumes(tmp_path):
     """MultiPopVI auto-selects compact for non-scale_se fits; checkpoint
     resume through the .npz roundtrip preserves the trajectory."""

@@ -1282,12 +1282,17 @@ _materialize_sigma_jit = jax.jit(
         mixture_prec, scaled_ld_diags / error_scaling[:, None]))
 
 
-@jax.jit
-def _nat_chunk_jit(prec_c, scaled_ld_diags, error_scaling, vi_mu_c):
-    """Natural means for a K-chunk: (prec_k + diag) @ vi_mu_k (the
-    chunked twin of compact_nat_mu_k, for streamed checkpoint resume)."""
+@partial(jax.jit, donate_argnums=(0,))
+def _nat_place_chunk_jit(nat, prec_c, scaled_ld_diags, error_scaling,
+                         part, k0):
+    """Recover one K-chunk of natural means and write it into the
+    device-resident [K, P, I] state buffer in place (donated). Streamed
+    checkpoint resume never materializes the full state on the host
+    (see _nat_from_checkpoint_streamed)."""
     dterm = scaled_ld_diags / error_scaling[:, None]
-    return sigma_mod.apply_precision(prec_c, dterm, vi_mu_c)
+    chunk = sigma_mod.apply_precision(prec_c, dterm, part)
+    zero = jnp.zeros((), dtype=k0.dtype)
+    return jax.lax.dynamic_update_slice(nat, chunk, (k0, zero, zero))
 
 
 @jax.jit
@@ -1324,6 +1329,10 @@ def _derived_cols_jit(mixture_prec, log_det, hyper_delta, error_scaling,
 # outputs whose derived [K, *, I] members exceed this stream to disk in
 # chunks instead of materializing (MultiPopVI.dump_spec / _stream_big)
 _STREAM_OUTPUT_BYTES = 1 << 28
+
+# host-side chunk budget for streamed checkpoint recovery
+# (_nat_from_checkpoint_streamed); tests shrink it to prove boundedness
+_RESUME_CHUNK_BYTES = 256 << 20
 
 
 def _write_npz_all_ranks(path, arrays, streams):
@@ -1711,18 +1720,24 @@ class MultiPopVI:
                                            jnp.asarray(vi0))
         K = self.num_mix
         itemsize = np.dtype(dtype).itemsize
-        chunk = max(1, (256 << 20)
+        chunk = max(1, _RESUME_CHUNK_BYTES
                     // max(P * self._padded_loci * itemsize, 1))
         prec = _fetch(self.data.mixture_prec)
-        nat = np.empty((K, P, self._padded_loci), dtype=dtype)
+        # recover straight into the device-resident state buffer: the
+        # host only ever holds one [chunk, P, I] slab, and the donated
+        # dynamic_update_slice keeps a single device copy (a host-side
+        # np.empty((K, P, I)) here would be the same tens-of-GB
+        # materialization the streaming machinery exists to avoid)
+        nat = jnp.zeros((K, P, self._padded_loci), dtype=dtype)
         for k0 in range(0, K, chunk):
-            part = np.zeros((min(chunk, K - k0), P, self._padded_loci),
-                            dtype=dtype)
-            part[..., ix] = np.asarray(mm[k0:k0 + chunk], dtype=dtype)
-            nat[k0:k0 + chunk] = np.asarray(_nat_chunk_jit(
-                prec[k0:k0 + chunk], self.data.scaled_ld_diags,
-                st.error_scaling, jnp.asarray(part)))
-        return jnp.asarray(nat)
+            kc = min(chunk, K - k0)
+            part = np.zeros((kc, P, self._padded_loci), dtype=dtype)
+            part[..., ix] = np.asarray(mm[k0:k0 + kc], dtype=dtype)
+            nat = _nat_place_chunk_jit(
+                nat, prec[k0:k0 + kc], self.data.scaled_ld_diags,
+                st.error_scaling, jnp.asarray(part),
+                jnp.asarray(k0, dtype=jnp.int32))
+        return nat
 
     def elbo_value(self, st=None):
         st = st or self.state
