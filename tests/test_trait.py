@@ -92,6 +92,72 @@ def test_trait_equals_explicit_shared_panel(tmp_path):
             assert (a[col] == b[col]).all(), col
 
 
+def test_trait_correlated_noise_bias(tmp_path):
+    """Pin the documented --trait caveat (USER_GUIDE "Multi-trait
+    caveat"): the RSS likelihood assumes independent GWAS noise across
+    traits, so overlapping-sample traits (correlated noise) acquire a
+    spurious cross-trait correlation in the posterior means that
+    independent-noise fits do not show. Truth: INDEPENDENT effects per
+    trait; noise correlation 0.9 vs 0. Also asserts the runtime warning
+    is emitted."""
+    root, ids = _schema(tmp_path, [64] * 6, seed=8)
+    n = len(ids)
+    rng = np.random.default_rng(21)
+    se = rng.uniform(0.01, 0.02, n)
+    true1 = rng.standard_normal(n) * se * 2
+    true2 = rng.standard_normal(n) * se * 2      # independent of true1
+    # per-block X and X^{1/2} for LD-correlated GWAS noise
+    # (noise_t = SE * X^{1/2} eps_t, the reference sim's model)
+    mats = [np.load(f'{root}_{b}.npy') for b in range(6)]
+    import scipy.linalg as sla
+
+    def gwas(true, eps):
+        out = np.empty(n)
+        for b, mat in enumerate(mats):
+            s = slice(b * 64, (b + 1) * 64)
+            half = np.real(sla.sqrtm(mat))
+            out[s] = mat @ true[s] + se[s] * (half @ eps[s])
+        return out
+
+    eps1 = rng.standard_normal(n)
+    eps_ind = rng.standard_normal(n)
+    rho = 0.9
+    eps_cor = rho * eps1 + np.sqrt(1 - rho ** 2) * rng.standard_normal(n)
+    env = _env(tmp_path)
+    corrs = {}
+    for name, eps2 in (('cor', eps_cor), ('ind', eps_ind)):
+        _write_sumstats(str(tmp_path / f'{name}1.tsv'), ids,
+                        gwas(true1, eps1), se)
+        _write_sumstats(str(tmp_path / f'{name}2.tsv'), ids,
+                        gwas(true2, eps2), se)
+        r = _run(['fit', '--trait', '--ld-schema', root + '.schema',
+                  '--sumstats',
+                  f'{tmp_path}/{name}1.tsv,{tmp_path}/{name}2.tsv',
+                  '--extract', root + '.extract', '-K', '2',
+                  '--num-its', '30', '--seed', '7',
+                  '--samplesizes', '100e3,100e3', '--init-hg', '0.3,0.3',
+                  '--stderrscale', '1.0,1.0',
+                  '--output', str(tmp_path / f'{name}_run')], env)
+        assert 'INDEPENDENT GWAS noise' in r.stderr
+        # the model's learned prior: mixture-implied cross-trait
+        # effect-size correlation (what a user reads off hyper_delta +
+        # the covariance grid). Truth is 0 (independent effects).
+        import pickle
+        npz = np.load(str(tmp_path / f'{name}_run.npz'))
+        with open(str(tmp_path / f'{name}_run.covariance.pkl'),
+                  'rb') as fh:
+            covs = np.asarray(pickle.load(fh)[0])
+        w = npz['hyper_delta'].mean(axis=0)
+        C = np.einsum('k,kpq->pq', w, covs)
+        corrs[name] = C[0, 1] / np.sqrt(C[0, 0] * C[1, 1])
+    # correlated sampling noise leaks into the learned effect
+    # correlation; independent noise does not — the documented failure
+    # mode, quantified (measured 0.19 vs 0.03 on these seeds)
+    assert corrs['cor'] > corrs['ind'] + 0.1, corrs
+    assert corrs['cor'] > 0.1, corrs
+    assert abs(corrs['ind']) < 0.1, corrs
+
+
 def test_trait_recovers_simulated_signal(tmp_path):
     """End-to-end two-trait study: simulate correlated true effects with
     `sim` (shared LD panel), fit with --trait, and require the posterior

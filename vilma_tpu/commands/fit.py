@@ -197,6 +197,25 @@ def main(args):
         elif n_schemas != n_traits:
             raise ValueError('--trait needs one shared --ld-schema (or '
                              'one per trait).')
+        if n_traits > 1:
+            # The RSS likelihood treats the GWAS noise of the axis-1
+            # entries (populations, here traits) as INDEPENDENT. Traits
+            # measured on one cohort share individuals, so their
+            # marginal-effect errors are correlated (proportional to the
+            # phenotypic correlation x sample overlap); fitting them as
+            # independent overstates the evidence for cross-trait effect
+            # correlation (see USER_GUIDE.md "Multi-trait caveat" and
+            # tests/test_trait.py::test_trait_correlated_noise_bias,
+            # which pins the size of the bias on a null simulation).
+            logging.warning(
+                '--trait assumes INDEPENDENT GWAS noise across traits. '
+                'This holds for traits measured on non-overlapping '
+                'cohorts; for traits measured on the same individuals, '
+                'correlated sampling noise leaks into the learned '
+                'cross-trait effect-size correlation (biasing it toward '
+                'the phenotypic correlation). Interpret cross-trait '
+                'covariance estimates accordingly, or use '
+                'non-overlapping samples per trait.')
 
     num_pops = args.sumstats.count(',') + 1
     names = list(map(str, range(num_pops)))
