@@ -193,18 +193,95 @@ def test_relayout_blocks_with_holes():
         assert np.isclose(ld2.get_rank(), ld.get_rank())
 
 
-def test_interleaved_blocks_skip_alignment():
-    """Blocks whose index intervals interleave (arbitrary extract-file
-    ordering) must be refused, not mis-laid-out."""
-    rng = np.random.default_rng(6)
+def _rand_factor(rng, k):
     from vilma_tpu.ops import lowrank
+    a = rng.standard_normal((k, k))
+    return lowrank.factor_block(X=a @ a.T / k, t=1.0,
+                                check_symmetric=False)
+
+
+def test_interleaved_blocks_align_via_virtual_order():
+    """Blocks whose index intervals interleave (arbitrary extract-file
+    ordering) relayout through the virtual genome order — the operator
+    is exactly preserved and the result is row-aligned. (Round-4 refused
+    these; reference anchor matrix_structures.py:389-408 — block
+    membership never required contiguity.)"""
+    rng = np.random.default_rng(6)
     n = 40
     ix1 = np.array([0, 2, 4, 6, 8, 10])
     ix2 = np.array([1, 3, 5, 7, 9, 11])
-    def f(k):
-        a = rng.standard_normal((k, k))
-        return lowrank.factor_block(X=a @ a.T / k, t=1.0,
-                                    check_symmetric=False)
-    ld = blocks.pack([f(6), f(6)], [ix1, ix2], n)
-    _, _, ok = alignment.compute_layout([ld], n)
-    assert not ok
+    ld = blocks.pack([_rand_factor(rng, 6), _rand_factor(rng, 6)],
+                     [ix1, ix2], n)
+    layout_map, L, ok = alignment.compute_layout([ld], n)
+    assert ok
+    assert np.unique(layout_map).size == n
+    ld2 = alignment.relayout_ld(ld, layout_map, L)
+    assert ld2.row_aligned
+    v = rng.standard_normal(n)
+    vl = alignment.relayout_rows(v, layout_map, L)
+    y = np.asarray(blocks.dot(ld, v))
+    yl = np.asarray(blocks.dot(ld2, vl))
+    assert np.allclose(yl[layout_map], y, atol=1e-9)
+    assert np.isclose(ld2.get_rank(), ld.get_rank())
+    assert np.allclose(np.asarray(blocks.diag(ld2))[layout_map],
+                       np.asarray(blocks.diag(ld)), atol=1e-12)
+
+
+def test_shuffled_extract_aligns_multi_cohort():
+    """A fully shuffled extract order (every block's indices scattered),
+    TWO cohorts with different block boundaries: the virtual-order
+    layout must preserve both operators, support shard-local spans, and
+    keep per-cohort blocks non-interleaved."""
+    rng = np.random.default_rng(7)
+    n = 512
+    shuffle = rng.permutation(n)        # genome position -> extract row
+
+    def make(sizes):
+        factors, idx = [], []
+        start = 0
+        for sz in sizes:
+            factors.append(_rand_factor(rng, sz))
+            idx.append(shuffle[np.arange(start, start + sz)])
+            start += sz
+        return blocks.pack(factors, idx, n)
+
+    ld_a = make([100, 150, 50, 100, 112])
+    ld_b = make([60, 90, 150, 120, 92])
+    for n_shards in (1, 4):
+        layout_map, L, ok = alignment.compute_layout([ld_a, ld_b], n,
+                                                     n_shards=n_shards)
+        assert ok, n_shards
+        assert np.unique(layout_map).size == n
+        assert L % (128 * n_shards) == 0
+        for ld in (ld_a, ld_b):
+            ld2 = alignment.relayout_ld(ld, layout_map, L,
+                                        n_shards=n_shards)
+            assert ld2.row_aligned
+            if n_shards > 1:
+                assert ld2.shard_count == n_shards
+            v = rng.standard_normal(n)
+            vl = alignment.relayout_rows(v, layout_map, L)
+            y = np.asarray(blocks.dot(ld, v))
+            if n_shards > 1:
+                import jax
+                from vilma_tpu.parallel import mesh as mesh_mod
+                mesh = mesh_mod.make_mesh(n_snp=n_shards, n_comp=1)
+                with jax.set_mesh(mesh):
+                    yl = np.asarray(jax.jit(blocks.dot)(
+                        ld2, jax.numpy.asarray(vl)))
+            else:
+                yl = np.asarray(blocks.dot(ld2, vl))
+            assert np.allclose(yl[layout_map], y, atol=1e-9)
+
+
+def test_topological_merge_conflict_detected():
+    """Schemas that genuinely disagree on the order of shared variants
+    (a cycle) are refused — the one remaining ineligible case."""
+    chains = [np.array([0, 1, 2]), np.array([2, 1, 3])]
+    assert alignment.topological_merge(chains, 4) is None
+    # consistent chains merge fine, shared segment and all
+    vpos = alignment.topological_merge(
+        [np.array([0, 1, 2]), np.array([1, 2, 3])], 5)
+    assert vpos is not None
+    order = np.argsort(vpos)
+    assert list(order) == [0, 1, 2, 3, 4]

@@ -26,8 +26,12 @@ from vilma_tpu.ops import blocks
 from vilma_tpu.parallel import distributed, mesh as mesh_mod
 
 
-def _build_schema(tmp_path, sizes, seed=0):
-    """Synthetic dense-block schema; returns its manifest path."""
+def _build_schema(tmp_path, sizes, seed=0, shuffle_extract=False):
+    """Synthetic dense-block schema; returns its manifest path.
+
+    shuffle_extract=True permutes the extract-file rows, so every
+    block's index range interleaves with every other's — the
+    arbitrary-user-ordering case the virtual-order layout handles."""
     rng = np.random.default_rng(seed)
     root = str(tmp_path / 'dist_schema')
     rows, ids = [], []
@@ -45,6 +49,8 @@ def _build_schema(tmp_path, sizes, seed=0):
         start += size
     with open(root + '.schema', 'w') as fh:
         fh.write('\n'.join(rows) + '\n')
+    if shuffle_extract:
+        ids = [ids[i] for i in rng.permutation(len(ids))]
     with open(root + '.schema.extract', 'w') as fh:
         fh.write('ID\tA1\tA2\n')
         fh.write(''.join(f'{name}\tA\tT\n' for name in ids))
@@ -139,11 +145,13 @@ def _free_port():
 
 def _cluster_fit_matches_single_process(tmp_path, nproc, ndev,
                                         layout='shard-local',
-                                        scale_se=False):
+                                        scale_se=False,
+                                        shuffle_extract=False):
     """nproc-process jax.distributed CPU cluster (ndev simulated devices
     each) == single-process fit."""
     # 8 blocks, 512 SNPs: divisible by the 8-device global mesh
-    schema = _build_schema(tmp_path, sizes=[64] * 8)
+    schema = _build_schema(tmp_path, sizes=[64] * 8,
+                           shuffle_extract=shuffle_extract)
     variants = pd.read_csv(schema + '.extract', sep='\t')
 
     # single-process golden (this pytest process: 8 simulated devices,
@@ -218,11 +226,46 @@ def test_two_process_scale_se_fit_matches_single_process(tmp_path):
 
 
 @pytest.mark.slow
-def test_two_process_fit_gather_fallback(tmp_path):
-    """The global-gather fallback (interleaved/non-contiguous blocks
-    would force it) must stay correct too."""
+def test_two_process_fit_interleaved_shard_local(tmp_path):
+    """An extract file NOT sorted in genome order (every block's index
+    range interleaved) must still plan the shard-local collective-free
+    layout via the virtual genome order — the worker asserts
+    plan is not None, shard_count > 1, AND the all-reduce-only HLO
+    budget, on the formerly-gather-only fixture. (Round 4 dropped this
+    case to the global-gather layout.)"""
     _cluster_fit_matches_single_process(tmp_path, nproc=2, ndev=4,
-                                        layout='gather')
+                                        shuffle_extract=True)
+
+
+def test_shuffled_plan_matches_plain_loader(tmp_path):
+    """In-process twin of the interleaved cluster test: a shuffled
+    extract still yields a shard-local plan whose assembled operator
+    matches the plain loader through the layout map."""
+    sizes = [48, 96, 130, 64, 48, 77, 200, 64]
+    schema = _build_schema(tmp_path, sizes=sizes, shuffle_extract=True)
+    variants = pd.read_csv(schema + '.extract', sep='\t')
+    plain, miss1 = load.load_ld_from_schema(schema, variants, denylist=[],
+                                            ldthresh=1.0)
+    mesh = mesh_mod.make_mesh(n_snp=8, n_comp=1)
+    plan = distributed.plan_sharded_load([(schema, [])], variants, 8)
+    assert plan is not None        # round 4 returned None here
+    sharded, miss2 = distributed.load_ld_sharded(
+        schema, variants, denylist=[], ldthresh=1.0, mesh=mesh, plan=plan)
+    assert miss1 == miss2
+    assert sharded.shard_count == 8 and sharded.row_aligned
+    assert plain.rank == sharded.rank
+    n = variants.shape[0]
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(n)
+    from vilma_tpu.parallel import alignment
+    xl = alignment.relayout_rows(x, plan.layout_map, plan.L)
+    with jax.set_mesh(mesh):
+        yl = np.asarray(jax.jit(blocks.dot)(sharded, jax.numpy.asarray(xl)))
+        diag_l = np.asarray(jax.jit(blocks.diag)(sharded))
+    assert np.allclose(np.asarray(blocks.dot(plain, x)),
+                       yl[plan.layout_map], rtol=1e-12, atol=1e-12)
+    assert np.allclose(np.asarray(blocks.diag(plain)),
+                       diag_l[plan.layout_map], rtol=1e-12, atol=1e-12)
 
 
 def _write_sumstats(tmp_path, variants, seed=2):

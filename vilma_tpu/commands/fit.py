@@ -166,8 +166,9 @@ def args(super_parser):
                              'fast row-wise matvec path on TPU. Outputs '
                              'are identical (inert padding slots); '
                              'handles variants dropped inside LD windows '
-                             'and is automatically skipped only when '
-                             'block index ranges interleave.')
+                             'and arbitrary extract-file orderings (via '
+                             'a virtual genome order); skipped only when '
+                             'schemas conflict on variant order.')
     return parser
 
 
@@ -316,9 +317,17 @@ def main(args):
         plan = distributed.plan_sharded_load(specs, variants,
                                              mesh.shape['snp'])
         if plan is None:
-            logging.warning('LD blocks are not contiguous genome ranges; '
-                            'multi-process fit falls back to the global-'
-                            'gather layout.')
+            # only reachable when schemas CONFLICT on the relative order
+            # of shared variants (arbitrary extract orderings plan fine
+            # via the virtual genome order) — an order of magnitude
+            # slower per evaluation than the shard-local layout
+            logging.warning('The LD schemas disagree on the relative '
+                            'order of shared variants; multi-process fit '
+                            'falls back to the global-gather layout '
+                            '(O(I) collectives per evaluation, fused '
+                            'kernels disabled). Rebuild the panels on a '
+                            'consistent genome order to restore full '
+                            'speed.')
             n_dev = mesh.shape['snp']
             n_pad = -(-variants.shape[0] // n_dev) * n_dev
 
@@ -440,8 +449,10 @@ def main(args):
                                                          layout_map, L)
             out_index = layout_map
         else:
-            logging.warning('LD blocks are not contiguous genome ranges; '
-                            'skipping --align-layout.')
+            logging.warning('The LD schemas disagree on the relative '
+                            'order of shared variants; skipping '
+                            '--align-layout (the fused fast path '
+                            'needs it).')
     if want_pallas and mesh is not None and not all(
             getattr(ld, 'shard_count', 1) > 1 for ld in combined_ld):
         logging.warning('Pallas kernel disabled: mesh execution without '

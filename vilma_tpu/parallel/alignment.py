@@ -26,30 +26,103 @@ from vilma_tpu.ops import blocks as blocks_mod
 from vilma_tpu.ops import lowrank
 
 
+def _block_list(ld):
+    """Per-block (kept_indices, bucket_idx, block_idx) for a PackedLD in
+    MANIFEST order (by the packed `seq` offsets), with no ordering
+    requirements on the indices. Touches only the (small) perm/seq
+    arrays, never the factor payloads."""
+    out = []
+    for bi, bk in enumerate(ld.buckets):
+        perm = np.asarray(bk.perm)
+        seq = np.asarray(bk.seq)
+        for b in range(perm.shape[0]):
+            keep = perm[b] < ld.n
+            ix = perm[b][keep]
+            if ix.size == 0:
+                continue
+            out.append((int(seq[b][keep][0]), ix.copy(), bi, b))
+    out.sort(key=lambda t: t[0])
+    return [(ix, bi, b) for _, ix, bi, b in out]
+
+
 def _block_intervals(ld):
     """Per-block (start, stop, kept_indices, bucket_idx, block_idx) for a
     PackedLD, sorted by start. Blocks may have HOLES (variants inside the
     genomic window that this cohort dropped — denylisted, mismatched, or
     missing sumstats): only ascending order and pairwise-disjoint
     [min, max+1) intervals are required. Returns None when intervals
-    interleave (an arbitrary extract-file ordering), in which case
-    alignment is skipped. Touches only the (small) perm arrays, never the
-    factor payloads."""
+    interleave (an arbitrary extract-file ordering) — `compute_layout`
+    then takes the virtual-order route instead. Touches only the (small)
+    perm arrays, never the factor payloads."""
     out = []
-    for bi, bk in enumerate(ld.buckets):
-        perm = np.asarray(bk.perm)
-        for b in range(perm.shape[0]):
-            ix = perm[b][perm[b] < ld.n]
-            if ix.size == 0:
-                continue
-            if ix.size > 1 and not np.all(np.diff(ix) > 0):
-                return None
-            out.append((int(ix[0]), int(ix[-1]) + 1, ix.copy(), bi, b))
+    for ix, bi, b in _block_list(ld):
+        if ix.size > 1 and not np.all(np.diff(ix) > 0):
+            return None
+        out.append((int(ix[0]), int(ix[-1]) + 1, ix, bi, b))
     out.sort(key=lambda t: t[0])
     for (a0, b0, _, _, _), (a1, _, _, _, _) in zip(out, out[1:]):
         if a1 < b0:
             return None        # interleaved intervals
     return out
+
+
+def topological_merge(chains, n):
+    """Merge per-cohort total orders into one global 'virtual genome'
+    order.
+
+    chains: one sequence of variant indices per cohort — that cohort's
+    covered variants in manifest order (blocks in schema order, rows in
+    .var order). Each chain reflects the underlying genomic order, so a
+    consistent merge exists whenever the schemas agree on the relative
+    order of shared variants; the merge makes every cohort's blocks
+    ascending, non-interleaved runs regardless of how the user's extract
+    file permuted the variant list.
+
+    Returns vpos [n] int32 (variant -> virtual position), or None when
+    the chains genuinely conflict (no order satisfies all schemas —
+    e.g. two panels built on different genome orders). Variants covered
+    by no chain slot in smallest-index-first; after each emission the
+    freshly-unlocked successors run depth-first, so chains come out as
+    contiguous runs instead of interleaving with unrelated chains."""
+    import heapq
+    pairs = []
+    for ch in chains:
+        ch = np.asarray(ch, dtype=np.int64)
+        if ch.size > 1:
+            pairs.append(np.stack([ch[:-1], ch[1:]], axis=1))
+    if pairs:
+        # dedup: cohorts sharing a schema contribute identical edges,
+        # which must count once in the indegrees
+        edges = np.unique(np.concatenate(pairs, axis=0), axis=0)
+    else:
+        edges = np.empty((0, 2), dtype=np.int64)
+    indeg = np.zeros(n, dtype=np.int64)
+    np.add.at(indeg, edges[:, 1], 1)
+    order_p = np.argsort(edges[:, 0], kind='stable')
+    se = edges[order_p]
+    starts = np.searchsorted(se[:, 0], np.arange(n + 1))
+    succ = se[:, 1]
+    heap = np.flatnonzero(indeg == 0).tolist()
+    heapq.heapify(heap)
+    vpos = np.full(n, -1, dtype=np.int64)
+    pos = 0
+    run = []
+    while run or heap:
+        v = run.pop() if run else heapq.heappop(heap)
+        vpos[v] = pos
+        pos += 1
+        unlocked = []
+        for e in range(starts[v], starts[v + 1]):
+            w = int(succ[e])
+            indeg[w] -= 1
+            if indeg[w] == 0:
+                unlocked.append(w)
+        if unlocked:
+            unlocked.sort(reverse=True)
+            run.extend(unlocked)
+    if pos != n:
+        return None        # cycle: schemas disagree on variant order
+    return vpos
 
 
 def _block_factor(ld, bucket_idx, block_idx, num_rows):
@@ -74,8 +147,9 @@ def entry_intervals(entries):
     """[(start, stop)] genomic intervals of metadata-pass entries
     (io/load.matched_schema_entries dicts), or None when any block's kept
     indices are non-ascending or intervals interleave — the same
-    eligibility rule `_block_intervals` applies to loaded PackedLDs, so
-    multi-process layout planning can run from metadata alone."""
+    eligibility rule `_block_intervals` applies to loaded PackedLDs.
+    Callers then take the virtual-order route (`layout_via_virtual_order`
+    on the same entries) instead of giving up."""
     out = []
     for e in entries:
         ix = np.asarray(e['idx'])
@@ -89,6 +163,43 @@ def entry_intervals(entries):
         if a1 < b0:
             return None
     return out
+
+
+def layout_via_virtual_order(block_ix_lists, n, n_shards=1):
+    """Genome->layout map for ARBITRARY variant orderings.
+
+    block_ix_lists: one list per cohort of each block's kept variant
+    indices, blocks in manifest order, rows in within-block (.var)
+    order. The cohorts' manifest orders merge into a virtual genome
+    order (`topological_merge`), every block becomes an ascending
+    interval there, the ordinary interval layout plans the (optionally
+    shard-local) 128-aligned spans, and the two maps compose. Returns
+    (layout_map [n] int32, L, ok); ok=False only when the schemas
+    genuinely conflict on the relative order of shared variants."""
+    chains = []
+    for blocks_ix in block_ix_lists:
+        if blocks_ix:
+            chains.append(np.concatenate(
+                [np.asarray(ix, dtype=np.int64) for ix in blocks_ix]))
+        else:
+            chains.append(np.empty(0, dtype=np.int64))
+    vpos = topological_merge(chains, n)
+    if vpos is None:
+        return None, None, False
+    interval_lists = []
+    for blocks_ix in block_ix_lists:
+        ivals = []
+        for ix in blocks_ix:
+            vix = vpos[np.asarray(ix)]
+            # ascending by construction (the chain runs through them)
+            ivals.append((int(vix[0]), int(vix[-1]) + 1))
+        ivals.sort()
+        interval_lists.append(ivals)
+    layout_v, L, ok = compute_layout_from_intervals(interval_lists, n,
+                                                    n_shards=n_shards)
+    if not ok:
+        return None, None, False
+    return layout_v[vpos].astype(np.int32), L, True
 
 
 def block_span(layout_map, ix):
@@ -109,16 +220,26 @@ def block_span(layout_map, ix):
 def compute_layout(lds, n, n_shards=1):
     """Build the genome->layout map from loaded PackedLDs.
 
-    Returns (layout_map [n] int32, L, ok). ok=False when any cohort has
-    non-contiguous blocks (caller should skip alignment)."""
+    Contiguous genome windows (the common case) plan directly from block
+    intervals; arbitrary orderings — an extract file not sorted in
+    genome order interleaves every block's index range — route through
+    the virtual genome order (`layout_via_virtual_order`), so alignment
+    (and with n_shards > 1 the collective-free shard-local layout)
+    applies to ANY valid schema. Returns (layout_map [n] int32, L, ok);
+    ok=False only when schemas conflict on the order of shared
+    variants."""
     interval_lists = []
     for ld in lds:
         ranges = _block_intervals(ld)
         if ranges is None:
-            return None, None, False
+            interval_lists = None
+            break
         interval_lists.append([(a, b) for a, b, _, _, _ in ranges])
-    return compute_layout_from_intervals(interval_lists, n,
-                                         n_shards=n_shards)
+    if interval_lists is not None:
+        return compute_layout_from_intervals(interval_lists, n,
+                                             n_shards=n_shards)
+    block_ix_lists = [[ix for ix, _, _ in _block_list(ld)] for ld in lds]
+    return layout_via_virtual_order(block_ix_lists, n, n_shards=n_shards)
 
 
 def compute_layout_from_intervals(interval_lists, n, n_shards=1):
@@ -233,9 +354,8 @@ def relayout_ld(ld, layout_map, L, dtype=None, spill=None,
     if dtype is None:
         dtype = np.asarray(ld.buckets[0].u[:1]).dtype if ld.buckets \
             else np.float64
-    ranges = _block_intervals(ld)
     factors, indices = [], []
-    for a, b, ix, bucket_idx, block_idx in ranges:
+    for ix, bucket_idx, block_idx in _block_list(ld):
         f = _block_factor(ld, bucket_idx, block_idx, ix.size)
         # the factor's kept rows scatter to their layout slots; holes
         # (dropped variants inside the window) and pads stay zero rows,

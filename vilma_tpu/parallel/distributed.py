@@ -107,9 +107,13 @@ def plan_sharded_load(specs, variants, n_shards):
     pair, then plans the union layout over all cohorts' block intervals
     with `alignment.compute_layout_from_intervals(n_shards=...)` — so a
     real pod fit gets the same collective-free shard-local spans as a
-    single-process `--align-layout` run. Returns a ShardedLoadPlan, or
-    None when any cohort's block intervals interleave in genome order
-    (callers then fall back to the global-gather layout)."""
+    single-process `--align-layout` run. Blocks whose index ranges
+    interleave (an extract file not sorted in genome order) route
+    through the virtual genome order (alignment.layout_via_virtual_order)
+    instead, so EVERY valid schema plans shard-local. Returns a
+    ShardedLoadPlan, or None only when the cohorts' schemas genuinely
+    conflict on the relative order of shared variants (callers then fall
+    back to the global-gather layout)."""
     from vilma_tpu.parallel import alignment
     n = variants.shape[0]
     entries_map, interval_lists = {}, []
@@ -118,12 +122,21 @@ def plan_sharded_load(specs, variants, n_shards):
         if key not in entries_map:
             entries_map[key] = list(load_mod.matched_schema_entries(
                 schema_path, variants, denylist))
-        ivals = alignment.entry_intervals(entries_map[key])
-        if ivals is None:
-            return None
-        interval_lists.append(ivals)
-    layout_map, L, ok = alignment.compute_layout_from_intervals(
-        interval_lists, n, n_shards=n_shards)
+        if interval_lists is not None:
+            ivals = alignment.entry_intervals(entries_map[key])
+            interval_lists = (None if ivals is None
+                              else interval_lists + [ivals])
+    if interval_lists is not None:
+        layout_map, L, ok = alignment.compute_layout_from_intervals(
+            interval_lists, n, n_shards=n_shards)
+    else:
+        block_ix_lists = [
+            [np.asarray(e['idx'])
+             for e in entries_map[ShardedLoadPlan.key(sp, dl)]
+             if len(e['idx'])]
+            for sp, dl in specs]
+        layout_map, L, ok = alignment.layout_via_virtual_order(
+            block_ix_lists, n, n_shards=n_shards)
     if not ok:
         return None
     return ShardedLoadPlan(layout_map, L, n_shards, entries_map)
