@@ -49,8 +49,14 @@ else:
     NUM_LOCI = 100_000
 # BENCH_SCALE_SE=1 runs the --learn-scaling configuration: the compact
 # per-component [K, P, I] natural-mean state with the error-scaling EM
-# (engine._update_error_scaling_compact)
+# (engine._update_error_scaling_compact); when that state would exceed
+# engine._EPOCH_STATE_BYTES (the production grid at genome scale), the
+# EPOCH-HISTORY representation runs instead, exactly as `fit` selects
+# it. BENCH_EPOCH_B sets the benched epoch-buffer size (default 8; the
+# per-evaluation cost grows with the buffer, so record legs at the
+# representative mid-trajectory size).
 SCALE_SE = os.environ.get('BENCH_SCALE_SE', '0') == '1'
+EPOCH_B = int(os.environ.get('BENCH_EPOCH_B', '8'))
 # BENCH_GRID=cli replaces the K=18 synthetic component ladder with the
 # PRODUCTION mixture grid the CLI builds (mixture.make_simple: a
 # 2-cohort -K 12 fit crosses variances x correlations x rescalings into
@@ -279,10 +285,28 @@ def _build(dtype, device):
             betas.astype(dtype), std_errs.astype(dtype), [ld] * P,
             annotations, covs, scaled=False, scale_se=SCALE_SE,
             gwas_N=np.full(P, 1e5), init_hg=np.full(P, 0.3), dtype=dtype)
-        state = synthetic.synthetic_state(data, compact=True)
+        state = synthetic.synthetic_state(
+            data, compact=True, epoch_b=_epoch_b(dtype, len(covs)))
     data = jax.device_put(data, device)
     state = jax.device_put(state, device)
     return data, state
+
+
+def _epoch_b(dtype, num_covs):
+    """Epoch-buffer size when the production selection (MultiPopVI)
+    would pick the epoch-history state for this config; None = the kdim
+    state (exactly the engine's own rule)."""
+    if not SCALE_SE:
+        return None
+    from vilma_tpu.inference import engine
+    kdim_bytes = (num_covs * NUM_POPS * NUM_LOCI
+                  * np.dtype(dtype).itemsize)
+    if kdim_bytes <= engine._EPOCH_STATE_BYTES:
+        return None
+    print(f'scale_se state: epoch-history representation, B={EPOCH_B} '
+          f'(kdim state would be {kdim_bytes / 2**30:.1f} GiB)',
+          flush=True)
+    return EPOCH_B
 
 
 def _bench_steps(data, state, n_steps):
@@ -468,7 +492,8 @@ def _build_mesh(dtype, n_shards):
             betas.astype(dtype), std_errs.astype(dtype), [lds] * P,
             annotations, covs, scaled=False, scale_se=SCALE_SE,
             gwas_N=np.full(P, 1e5), init_hg=np.full(P, 0.3), dtype=dtype)
-        state = synthetic.synthetic_state(data, compact=True)
+        state = synthetic.synthetic_state(
+            data, compact=True, epoch_b=_epoch_b(dtype, len(covs)))
         data = mesh_mod.shard_data(data, mesh)
         state = mesh_mod.shard_state(state, mesh)
     return mesh, data, state

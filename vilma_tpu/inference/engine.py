@@ -125,15 +125,41 @@ class VIState:
     running_elbo_delta: jnp.ndarray  # scalar; nan = not yet initialized
     num_err: jnp.ndarray          # int32 count of line-search failures
     nat_mu: jnp.ndarray = None    # [P, I] compact natural mean, or None
+    # EPOCH-HISTORY scale_se representation (sigma.compact_exprs_epochs):
+    # when nat_hist is set, nat_mu is the [P, I] CURRENT-epoch
+    # accumulator and the per-component state is implied by the history
+    # — O(E*P*I) memory where the kdim state would be O(K*P*I) (26 GiB
+    # at 6M SNPs with the production grid). Buffer slots >= nat_hist_n
+    # are inert (nat_hist_c == 0 there).
+    nat_hist: jnp.ndarray = None        # [B, P, I] epoch vectors
+    nat_hist_scale: jnp.ndarray = None  # [B, P] error_scaling per epoch
+    nat_hist_c: jnp.ndarray = None      # [B] coefficients
+    nat_hist_n: jnp.ndarray = None      # int32 live epoch count
 
 
 jax.tree_util.register_dataclass(
     VIState,
     data_fields=('vi_mu', 'vi_delta', 'hyper_delta', 'error_scaling',
                  'nat_grad_vi_delta', 'sigma', 'L', 'elbo',
-                 'running_elbo_delta', 'num_err', 'nat_mu'),
+                 'running_elbo_delta', 'num_err', 'nat_mu', 'nat_hist',
+                 'nat_hist_scale', 'nat_hist_c', 'nat_hist_n'),
     meta_fields=(),
 )
+
+# EM re-basings whose relative error-scaling change is below this are
+# treated as converged (no epoch appended, scaling frozen) — 1e-6 is
+# the f32 noise floor; the f64 parity tests pin exactness with 0.0
+_EPOCH_SKIP_TOL = 1e-6
+# epoch-buffer growth buckets (recompile points) and the hard cap; at
+# the cap further EM updates freeze with a warning
+_EPOCH_BUCKETS = (4, 8, 16, 32, 48)
+_EPOCH_CAP = _EPOCH_BUCKETS[-1]
+# scale_se fits whose kdim [K, P, I] state would exceed this use the
+# epoch representation instead (the kdim fast path keeps small states);
+# VILMA_EPOCH_STATE_BYTES overrides (0 forces epoch mode everywhere)
+import os as _os
+_EPOCH_STATE_BYTES = int(_os.environ.get('VILMA_EPOCH_STATE_BYTES',
+                                         1 << 30))
 
 
 def _isclose(a, b, rtol=1e-5, atol=1e-8):
@@ -267,12 +293,16 @@ elbo_jit = jax.jit(
     elbo(data, sigma, error_scaling, vi_mu, vi_delta, hyper_delta))
 
 
-def _minimal_state(error_scaling, nat_mu, hyper_delta):
-    """A VIState carrying only what the compact objective reads."""
+def _minimal_state(error_scaling, nat_mu, hyper_delta, nat_hist=None,
+                   nat_hist_scale=None, nat_hist_c=None,
+                   nat_hist_n=None):
+    """A VIState carrying only what the compact/epoch objective reads."""
     return VIState(vi_mu=None, vi_delta=None, hyper_delta=hyper_delta,
                    error_scaling=error_scaling, nat_grad_vi_delta=None,
                    sigma=None, L=None, elbo=None,
-                   running_elbo_delta=None, num_err=None, nat_mu=nat_mu)
+                   running_elbo_delta=None, num_err=None, nat_mu=nat_mu,
+                   nat_hist=nat_hist, nat_hist_scale=nat_hist_scale,
+                   nat_hist_c=nat_hist_c, nat_hist_n=nat_hist_n)
 
 
 @jax.jit
@@ -287,6 +317,26 @@ def elbo_compact_jit(data, error_scaling, nat_mu, hyper_delta):
     objective route runs the fused prologue / K-fused staging."""
     st = _minimal_state(error_scaling, nat_mu, hyper_delta)
     return _objective_compact(data, st, nat_mu, hyper_delta)[0]
+
+
+@jax.jit
+def elbo_epoch_jit(data, error_scaling, nat_u, hist_v, hist_scale,
+                   hist_c, hyper_delta):
+    """ELBO of an epoch-history state (see elbo_compact_jit)."""
+    st = _minimal_state(error_scaling, nat_u, hyper_delta,
+                        nat_hist=hist_v, nat_hist_scale=hist_scale,
+                        nat_hist_c=hist_c)
+    return _objective_epoch(data, st, nat_u, hist_c, hyper_delta)[0]
+
+
+@jax.jit
+def _scaled_posterior_mean_epoch(data, error_scaling, nat_u, hist_v,
+                                 hist_scale, hist_c, hyper_delta):
+    st = _minimal_state(error_scaling, nat_u, hyper_delta,
+                        nat_hist=hist_v, nat_hist_scale=hist_scale,
+                        nat_hist_c=hist_c)
+    _, pm, _ = _objective_epoch(data, st, nat_u, hist_c, hyper_delta)
+    return pm * data.scalings
 
 
 @jax.jit
@@ -589,6 +639,81 @@ def _prologue_fused(data, error_scaling, nat_mu, hyper_delta, interpret):
                                 interpret=interpret)
 
 
+def _epoch_prologue_supported(data, st, nat_u):
+    from vilma_tpu.ops.pallas import compact_obj
+    K, P = data.mixture_prec.shape[:2]
+    return compact_obj.supported(P, K, jnp.dtype(nat_u.dtype),
+                                 epochs=st.nat_hist.shape[0])
+
+
+def _epoch_fused_operands(data, st, nat_u, hist_c, hyper_delta):
+    """Operand tuple of the fused epoch kernels
+    (compact_obj.prologue_epochs): the raw scaled_ld_diags stream once
+    and the per-epoch diag terms form in-register from the [B+1, P]
+    inverse-scaling table (row 0 = the CURRENT scaling)."""
+    from vilma_tpu.ops.pallas import compact_obj
+    coeffs = compact_obj.build_coeffs(data.mixture_prec, data.log_det)
+    scores_t = (jnp.log(hyper_delta)
+                - 0.5 * data.log_det).T.astype(nat_u.dtype)
+    inv_scales = jnp.concatenate(
+        [1.0 / st.error_scaling[None], 1.0 / st.nat_hist_scale],
+        axis=0).astype(nat_u.dtype)
+    sharded = bool(data.ld) and getattr(data.ld[0], 'shard_count', 1) > 1
+    args = (coeffs, scores_t, data.annotations, data.scaled_ld_diags,
+            nat_u, st.nat_hist, inv_scales,
+            hist_c.astype(nat_u.dtype))
+    return args, sharded
+
+
+def _epoch_fused_shard_map(local, out_specs):
+    """shard_map wrapper for the epoch kernels (see _fused_shard_map)."""
+    from jax.sharding import PartitionSpec as PS
+    return jax.shard_map(
+        local,
+        in_specs=(PS(), PS(), PS('snp'), PS(None, 'snp'),
+                  PS(None, 'snp'), PS(None, None, 'snp'), PS(), PS()),
+        out_specs=out_specs, check_vma=False)
+
+
+def _epoch_prologue_fused(data, st, nat_u, hist_c, hyper_delta,
+                          interpret):
+    from jax.sharding import PartitionSpec as PS
+    from vilma_tpu.ops.pallas import compact_obj
+    args, sharded = _epoch_fused_operands(data, st, nat_u, hist_c,
+                                          hyper_delta)
+    A = data.num_annotations
+    if sharded:
+        def local(co, sc, ann, sld, u, hv, isc, c):
+            pm, pv, kl = compact_obj.prologue_epochs(
+                co, sc, ann, sld, u, hv, isc, c, num_annotations=A,
+                interpret=interpret)
+            return pm, pv, jax.lax.psum(kl, 'snp')
+
+        return _epoch_fused_shard_map(
+            local, (PS(None, 'snp'), PS(None, 'snp'), PS()))(*args)
+    return compact_obj.prologue_epochs(*args, num_annotations=A,
+                                       interpret=interpret)
+
+
+def _epoch_delta_sums_fused(data, st, nat_u, hist_c, hyper_delta,
+                            interpret):
+    from jax.sharding import PartitionSpec as PS
+    from vilma_tpu.ops.pallas import compact_obj
+    args, sharded = _epoch_fused_operands(data, st, nat_u, hist_c,
+                                          hyper_delta)
+    A = data.num_annotations
+    if sharded:
+        def local(co, sc, ann, sld, u, hv, isc, c):
+            s = compact_obj.delta_sums_epochs(
+                co, sc, ann, sld, u, hv, isc, c, num_annotations=A,
+                interpret=interpret)
+            return jax.lax.psum(s, 'snp')
+
+        return _epoch_fused_shard_map(local, PS())(*args)
+    return compact_obj.delta_sums_epochs(*args, num_annotations=A,
+                                         interpret=interpret)
+
+
 def _objective_compact(data, st, nat_mu, hyper_delta):
     """(objective, post_means, linked) of a compact parameter point
     (st supplies only error_scaling — `_minimal_state` builds a
@@ -619,11 +744,18 @@ def _objective_compact(data, st, nat_mu, hyper_delta):
 
     dterm = _diag_term(data, st.error_scaling)
     ex = sigma_mod.compact_exprs(data.mixture_prec, dterm, nat_mu)
+    return _objective_from_exprs(data, st.error_scaling, ex, hyper_delta)
 
-    # vi_delta from the compact closed forms: the prior-only natural
-    # params plus the per-component quadratic/log-det corrections, fed
-    # through the stabilized categorical inversion (these are the same
-    # jnp kernels the materialized path uses; both fuse under jit)
+
+def _objective_from_exprs(data, error_scaling, ex, hyper_delta):
+    """(objective, post_means, linked) from per-component CompactExprs —
+    the XLA-staged evaluation tail shared by the [P, I] compact state
+    and the epoch-history scale_se state (`_objective_epoch`).
+
+    vi_delta comes from the compact closed forms: the prior-only natural
+    params plus the per-component quadratic/log-det corrections, fed
+    through the stabilized categorical inversion (the same jnp kernels
+    the materialized path uses; both fuse under jit)."""
     natvd = kernels.fast_vi_delta_grad(hyper_delta, data.log_det,
                                        data.annotations)     # [K-1, I]
     addenda = ex.log_det_sigma + ex.quad                     # [K, I]
@@ -640,7 +772,7 @@ def _objective_compact(data, st, nat_mu, hyper_delta):
     ll = kernels.fast_likelihood(post_means, post_vars, scaled_mu,
                                  data.scaled_ld_diags, linked_ests,
                                  data.adj_marginal_effects, data.chi_stat,
-                                 data.ld_ranks, st.error_scaling)
+                                 data.ld_ranks, error_scaling)
 
     # beta KL (fast_delta_kl + fast_inner_product_comp + fast_beta_kl)
     real = (data.annotations < data.num_annotations)[None, :]
@@ -652,6 +784,39 @@ def _objective_compact(data, st, nat_mu, hyper_delta):
     cov_comp = 0.5 * jnp.sum(jnp.where(real, ss * vi_delta, 0.0))
     obj = ll - (delta_comp + inner + cov_comp)
     return obj, post_means, linked_ests
+
+
+def _hist_dterms(data, st):
+    """[B, P, I] per-epoch diag terms of the epoch history (lazy
+    broadcast; inert slots carry scale 1)."""
+    return (data.scaled_ld_diags[None, :, :]
+            / st.nat_hist_scale[:, :, None])
+
+
+def _epoch_exprs(data, st, nat_u, hist_c):
+    dterm = _diag_term(data, st.error_scaling)
+    return sigma_mod.compact_exprs_epochs(
+        data.mixture_prec, dterm, nat_u, st.nat_hist,
+        _hist_dterms(data, st), hist_c)
+
+
+def _objective_epoch(data, st, nat_u, hist_c, hyper_delta):
+    """(objective, post_means, linked) of an epoch-history parameter
+    point. The trial parameters of a beta step are (nat_u, hist_c) —
+    one [P, I] vector and B scalars; st supplies error_scaling and the
+    epoch buffers."""
+    use_pk, interp = blocks_mod.pallas_flags()
+    if use_pk and (interp or _epoch_prologue_supported(data, st, nat_u)):
+        post_means, post_vars, beta_kl = _epoch_prologue_fused(
+            data, st, nat_u, hist_c, hyper_delta, interp)
+        scaled_mu, linked_ests = _ld_scaled_dot(data, post_means)
+        ll = kernels.fast_likelihood(
+            post_means, post_vars, scaled_mu, data.scaled_ld_diags,
+            linked_ests, data.adj_marginal_effects, data.chi_stat,
+            data.ld_ranks, st.error_scaling)
+        return ll - beta_kl, post_means, linked_ests
+    ex = _epoch_exprs(data, st, nat_u, hist_c)
+    return _objective_from_exprs(data, st.error_scaling, ex, hyper_delta)
 
 
 def _update_beta_compact(data, st, orig_obj, cur_post_mean, cur_linked,
@@ -826,6 +991,228 @@ def _update_error_scaling_compact(data, st, orig_obj, post_means, linked):
     return st, new_obj - orig_obj, pm
 
 
+# ---------------------------------------------------------------------------
+# Epoch-history scale_se step (sigma.compact_exprs_epochs): the [K, P, I]
+# kdim state is replaced by O(E) shared [P, I] epoch vectors + the
+# error-scaling history. Beta steps mix (nat_u, hist_c) — the K-constant
+# gradient touches only the current-epoch accumulator and the scalar
+# coefficients; each EM event appends ONE epoch (the telescoping
+# re-basing identity). Exact: same trajectory as the kdim path
+# (tests/test_epoch_state.py).
+# ---------------------------------------------------------------------------
+
+def _update_beta_epoch(data, st, orig_obj, cur_post_mean, cur_linked,
+                       line_search_rate):
+    """Epoch twin of `_update_beta_compact`: nat <- (1-s)*nat + s*grad
+    becomes u <- (1-s)*u + s*grad, c_e <- (1-s)*c_e."""
+    grad = _nat_grad_resid(data, st.error_scaling, cur_post_mean,
+                           cur_linked)
+
+    def trial(L0):
+        s = 1. / L0
+        u_new = kernels.sum_betas(st.nat_mu, grad, s)        # [P, I]
+        c_new = (1. - s) * st.nat_hist_c                     # [B]
+        new_obj, pm, lk = _objective_epoch(data, st, u_new, c_new,
+                                           st.hyper_delta)
+        return u_new, c_new, new_obj, pm, lk
+
+    threshold = orig_obj - REL_TOL * jnp.abs(orig_obj) - ABS_TOL
+
+    def cond(carry):
+        L0, _, _, new_obj, _, _ = carry
+        return jnp.logical_and(new_obj < threshold, L0 <= L_MAX)
+
+    def body(carry):
+        L0 = carry[0]
+        L_next = L0 * line_search_rate
+        return (L_next,) + trial(L_next)
+
+    L0 = st.L[0]
+    init = (L0,) + trial(L0)
+    L0, u_new, c_new, new_obj, pm, lk = jax.lax.while_loop(cond, body,
+                                                           init)
+    accepted = new_obj >= threshold
+    err = jnp.logical_and(
+        L0 > L_MAX,
+        jnp.logical_not(_isclose(orig_obj, new_obj,
+                                 rtol=_err_rtol(new_obj.dtype))))
+    nat_u = jnp.where(accepted, u_new, st.nat_mu)
+    hist_c = jnp.where(accepted, c_new, st.nat_hist_c)
+    post_mean = jnp.where(accepted, pm, cur_post_mean)
+    linked = jnp.where(accepted, lk, cur_linked)
+    new_obj = jnp.where(accepted, new_obj, orig_obj)
+    return (nat_u, hist_c, L0, new_obj, post_mean, linked,
+            err.astype(jnp.int32))
+
+
+def _beta_loop_epoch(data, st, conv_tol, line_search_rate):
+    """Epoch twin of `_beta_loop_compact`: the while carry holds the
+    [P, I] accumulator + [B] coefficients."""
+    obj0, pm0, lk0 = _objective_epoch(data, st, st.nat_mu,
+                                      st.nat_hist_c, st.hyper_delta)
+
+    def body(carry):
+        (nat_u, hist_c, L0, num_err, orig_obj, pm, lk, delta, it,
+         _) = carry
+        L0 = jnp.maximum(1., L0 / 1.25)
+        cur = dataclasses.replace(st, nat_mu=nat_u, nat_hist_c=hist_c,
+                                  L=st.L.at[0].set(L0))
+        nat_u, hist_c, L0, new_obj, pm, lk, err = _update_beta_epoch(
+            data, cur, orig_obj, pm, lk, line_search_rate)
+        delta = delta + new_obj - orig_obj
+        done = jnp.logical_or(
+            jnp.abs(new_obj - orig_obj) <= conv_tol,
+            jnp.logical_or(L0 == 1., L0 > L_MAX))
+        return (nat_u, hist_c, L0, num_err + err, new_obj, pm, lk,
+                delta, it + 1, done)
+
+    def cond(carry):
+        it, done = carry[8], carry[9]
+        return jnp.logical_and(it < MAX_NUM_ITERS, jnp.logical_not(done))
+
+    (nat_u, hist_c, L0, num_err, obj, pm, lk, delta, _, _) = (
+        jax.lax.while_loop(
+            cond, body,
+            (st.nat_mu, st.nat_hist_c, st.L[0], st.num_err, obj0, pm0,
+             lk0, jnp.zeros_like(obj0), jnp.asarray(0),
+             jnp.asarray(False))))
+    st = dataclasses.replace(st, nat_mu=nat_u, nat_hist_c=hist_c,
+                             L=st.L.at[0].set(L0), num_err=num_err)
+    return st, delta, obj, pm, lk
+
+
+def _delta_sums_epoch(data, st, hyper_delta, use_fused, interp):
+    """sum_annotations of the derived vi_delta for the epoch state."""
+    if use_fused:
+        return _epoch_delta_sums_fused(data, st, st.nat_mu,
+                                       st.nat_hist_c, hyper_delta,
+                                       interp)
+    ex = _epoch_exprs(data, st, st.nat_mu, st.nat_hist_c)
+    natvd = kernels.fast_vi_delta_grad(hyper_delta, data.log_det,
+                                       data.annotations)
+    addenda = ex.log_det_sigma + ex.quad
+    li = 0.5 * (addenda[:-1] - addenda[-1:]) + natvd
+    vi_delta = kernels.invert_nat_cat_2D(li)
+    return kernels.sum_annotations(vi_delta, data.annotations,
+                                   data.num_annotations)
+
+
+def _update_hyper_delta_epoch(data, st, orig_obj):
+    """Epoch twin of `_update_hyper_delta_compact`."""
+    eps = epsilon(st.nat_mu.dtype)
+    use_pk, interp = blocks_mod.pallas_flags()
+    fused = use_pk and (interp
+                        or _epoch_prologue_supported(data, st, st.nat_mu))
+    new_hd = _delta_sums_epoch(data, st, st.hyper_delta, fused, interp)
+    new_hd = jnp.maximum(
+        new_hd / (data.annotation_counts[:, None] + eps), eps)
+    new_hd = new_hd / new_hd.sum(axis=1, keepdims=True)
+    new_obj, pm, lk = _objective_epoch(data, st, st.nat_mu,
+                                       st.nat_hist_c, new_hd)
+    st = dataclasses.replace(st, hyper_delta=new_hd)
+    return st, new_obj - orig_obj, new_obj, pm, lk
+
+
+def _update_error_scaling_epoch(data, st, orig_obj, post_means, linked):
+    """Epoch twin of `_update_error_scaling_compact`.
+
+    The EM's k-dependent re-basing becomes an epoch APPEND (the
+    telescoping identity in sigma.compact_exprs_epochs): the current
+    accumulator u is pushed into the history with coefficient 1 under
+    the OLD scaling, and a fresh zero accumulator starts under the new
+    scaling. Near-converged scalings (relative change < _EPOCH_SKIP_TOL)
+    and a full buffer freeze the EM instead (no state change; the host
+    grows the buffer before it fills, so freezing only happens at the
+    hard cap)."""
+    # post_vars of the CURRENT params (pre-EM)
+    use_pk, interp = blocks_mod.pallas_flags()
+    if use_pk and (interp
+                   or _epoch_prologue_supported(data, st, st.nat_mu)):
+        _, post_vars, _ = _epoch_prologue_fused(
+            data, st, st.nat_mu, st.nat_hist_c, st.hyper_delta, interp)
+    else:
+        ex = _epoch_exprs(data, st, st.nat_mu, st.nat_hist_c)
+        natvd = kernels.fast_vi_delta_grad(st.hyper_delta, data.log_det,
+                                           data.annotations)
+        addenda = ex.log_det_sigma + ex.quad
+        li = 0.5 * (addenda[:-1] - addenda[-1:]) + natvd
+        vi_delta = kernels.invert_nat_cat_2D(li)
+        second = jnp.einsum('kpi,ki->pi', ex.diag + ex.mu ** 2, vi_delta)
+        post_vars = second - post_means ** 2
+
+    scaled_mu = post_means / data.std_errs
+    quad = jnp.einsum('pi,pi->p', scaled_mu, linked)
+    new_scaling = (
+        data.chi_stat
+        - 2 * jnp.einsum('pi,pi->p', post_means, data.adj_marginal_effects)
+        + quad
+        + jnp.sum(data.ld_diags * post_vars * data.std_errs ** -2, axis=1)
+    ) / data.ld_ranks
+
+    B = st.nat_hist.shape[0]
+    n = st.nat_hist_n
+    changed = jnp.max(jnp.abs(new_scaling / st.error_scaling - 1.0)) \
+        > _EPOCH_SKIP_TOL
+    room = n < B
+
+    def rebase(st):
+        zero = jnp.zeros((), dtype=n.dtype)
+        hist = jax.lax.dynamic_update_slice(
+            st.nat_hist, st.nat_mu[None].astype(st.nat_hist.dtype),
+            (n, zero, zero))
+        scale = jax.lax.dynamic_update_slice(
+            st.nat_hist_scale,
+            st.error_scaling[None].astype(st.nat_hist_scale.dtype),
+            (n, zero))
+        c = jax.lax.dynamic_update_slice(
+            st.nat_hist_c, jnp.ones(1, dtype=st.nat_hist_c.dtype), (n,))
+        st = dataclasses.replace(
+            st, error_scaling=new_scaling, nat_mu=jnp.zeros_like(st.nat_mu),
+            nat_hist=hist, nat_hist_scale=scale, nat_hist_c=c,
+            nat_hist_n=n + 1)
+        new_obj, pm, _ = _objective_epoch(data, st, st.nat_mu,
+                                          st.nat_hist_c, st.hyper_delta)
+        return st, new_obj - orig_obj, pm
+
+    def freeze(st):
+        return st, jnp.zeros_like(orig_obj), post_means
+
+    return jax.lax.cond(jnp.logical_and(changed, room), rebase, freeze,
+                        st)
+
+
+def _outer_step_epoch(data, st, line_search_rate):
+    st = dataclasses.replace(st, vi_mu=None, vi_delta=None, sigma=None,
+                             nat_grad_vi_delta=None)
+    conv_tol = jnp.where(jnp.isnan(st.running_elbo_delta),
+                         jnp.inf, 0.1 * st.running_elbo_delta)
+    st, delta_beta, obj, pm, lk = _beta_loop_epoch(data, st, conv_tol,
+                                                   line_search_rate)
+    st, delta_hyper, obj, pm, lk = _update_hyper_delta_epoch(data, st,
+                                                             obj)
+    new_elbo_delta = delta_beta + delta_hyper
+
+    def do_em(args):
+        st, obj, pm, lk = args
+        return _update_error_scaling_epoch(data, st, obj, pm, lk)
+
+    def skip(args):
+        st, obj, pm, lk = args
+        return st, jnp.zeros_like(new_elbo_delta), pm
+
+    st, em_delta, pm = jax.lax.cond(new_elbo_delta < EM_TOL, do_em,
+                                    skip, (st, obj, pm, lk))
+    new_elbo_delta = new_elbo_delta + em_delta
+
+    red = jnp.where(jnp.isnan(st.running_elbo_delta), new_elbo_delta,
+                    st.running_elbo_delta)
+    red = red * ELBO_MOMENTUM + (1 - ELBO_MOMENTUM) * jnp.maximum(
+        new_elbo_delta, 0)
+    st = dataclasses.replace(st, elbo=st.elbo + new_elbo_delta,
+                             running_elbo_delta=red)
+    return st, pm * data.scalings
+
+
 def _outer_step_compact(data, st, line_search_rate):
     if data.scale_se and st.nat_mu.ndim != 3:
         raise ValueError('compact scale_se fits carry a per-component '
@@ -871,14 +1258,37 @@ def _outer_step_compact(data, st, line_search_rate):
     return st, pm * data.scalings
 
 
+def _derive_params_epoch(data, error_scaling, nat_u, hist_v, hist_scale,
+                         hist_c, hyper_delta):
+    """(sigma, vi_mu [K,P,I], vi_delta [K,I]) derived from an
+    epoch-history state (the epoch twin of `_derive_params`)."""
+    dterm = _diag_term(data, error_scaling)
+    hist_dterms = data.scaled_ld_diags[None] / hist_scale[:, :, None]
+    ex = sigma_mod.compact_exprs_epochs(data.mixture_prec, dterm, nat_u,
+                                        hist_v, hist_dterms, hist_c)
+    sigma = sigma_mod.make_summaries(data.mixture_prec, data.log_det,
+                                     dterm)
+    natvd = kernels.fast_vi_delta_grad(hyper_delta, data.log_det,
+                                       data.annotations)
+    addenda = ex.log_det_sigma + ex.quad
+    li = 0.5 * (addenda[:-1] - addenda[-1:]) + natvd
+    vi_delta = kernels.invert_nat_cat_2D(li)
+    return sigma, ex.mu, vi_delta
+
+
 def materialize_state(data, st):
     """Fill a compact VIState's derived fields (vi_mu, vi_delta, sigma,
     nat_grad_vi_delta) — for outputs, checkpoints, and tests. Identity on
     already-materialized states."""
     if st.nat_mu is None:
         return st
-    sigma, vi_mu, vi_delta = jax.jit(_derive_params)(
-        data, st.error_scaling, st.nat_mu, st.hyper_delta)
+    if st.nat_hist is not None:
+        sigma, vi_mu, vi_delta = jax.jit(_derive_params_epoch)(
+            data, st.error_scaling, st.nat_mu, st.nat_hist,
+            st.nat_hist_scale, st.nat_hist_c, st.hyper_delta)
+    else:
+        sigma, vi_mu, vi_delta = jax.jit(_derive_params)(
+            data, st.error_scaling, st.nat_mu, st.hyper_delta)
     nat_vd = _vi_delta_grad_jit(st.hyper_delta, data.log_det,
                                 data.annotations)
     return dataclasses.replace(st, vi_mu=vi_mu, vi_delta=vi_delta,
@@ -910,6 +1320,8 @@ def outer_step_impl(data, st, line_search_rate=2.0):
     variational_inference.py:396-450). Pure function — jit via
     `outer_step`, or chain multiple iterations on-device with lax
     loops (see bench.py)."""
+    if st.nat_hist is not None:
+        return _outer_step_epoch(data, st, line_search_rate)
     if st.nat_mu is not None:
         return _outer_step_compact(data, st, line_search_rate)
     conv_tol = jnp.where(jnp.isnan(st.running_elbo_delta),
@@ -1326,6 +1738,41 @@ def _derived_cols_jit(mixture_prec, log_det, hyper_delta, error_scaling,
     second = jnp.einsum('kpc,kc->pc', ex.diag + ex.mu ** 2, vi_delta)
     return vi_delta.T, pm, second - pm ** 2
 
+@jax.jit
+def _derived_cols_epoch_jit(mixture_prec, log_det, hyper_delta,
+                            error_scaling, nat_u, hist_v, hist_scale,
+                            hist_c, scaled_ld_diags, annotations, idx):
+    """Epoch twin of `_derived_cols_jit` (bounded-memory output
+    streaming for epoch-history states)."""
+    u_c = nat_u[:, idx]
+    hv_c = hist_v[..., idx]
+    sld_c = scaled_ld_diags[:, idx]
+    dt_c = sld_c / error_scaling[:, None]
+    hist_dt = sld_c[None] / hist_scale[:, :, None]
+    ann_c = annotations[idx]
+    natvd = kernels.fast_vi_delta_grad(hyper_delta, log_det, ann_c)
+    ex = sigma_mod.compact_exprs_epochs(mixture_prec, dt_c, u_c, hv_c,
+                                        hist_dt, hist_c)
+    addenda = ex.log_det_sigma + ex.quad
+    li = 0.5 * (addenda[:-1] - addenda[-1:]) + natvd
+    vi_delta = kernels.invert_nat_cat_2D(li)                 # [K, C]
+    pm = jnp.einsum('kpc,kc->pc', ex.mu, vi_delta)
+    second = jnp.einsum('kpc,kc->pc', ex.diag + ex.mu ** 2, vi_delta)
+    return vi_delta.T, pm, second - pm ** 2
+
+
+@jax.jit
+def _vi_mu_chunk_epoch_jit(prec_c, scaled_ld_diags, error_scaling,
+                           nat_u, hist_v, hist_scale, hist_c):
+    """vi_mu for a K-chunk of an epoch-history state (XLA drops the
+    unused CompactExprs outputs)."""
+    dterm = scaled_ld_diags / error_scaling[:, None]
+    hist_dt = scaled_ld_diags[None] / hist_scale[:, :, None]
+    ex = sigma_mod.compact_exprs_epochs(prec_c, dterm, nat_u, hist_v,
+                                        hist_dt, hist_c)
+    return ex.mu
+
+
 # outputs whose derived [K, *, I] members exceed this stream to disk in
 # chunks instead of materializing (MultiPopVI.dump_spec / _stream_big)
 _STREAM_OUTPUT_BYTES = 1 << 28
@@ -1432,6 +1879,22 @@ class MultiPopVI:
         # Either way no [K, I]-shaped state arrays or sigma summaries
         # live in HBM between evaluations.
         self._compact = self.num_pops <= 3
+        # scale_se fits whose kdim state would be too large (the
+        # production mixture grid x genome scale: 582 x 2 x 6M f32 is
+        # ~26 GiB) switch to the EPOCH-HISTORY representation
+        # (sigma.compact_exprs_epochs): O(E) shared [P, I] vectors +
+        # the scaling history, exact and bounded.
+        itemsize = np.dtype(self.data.marginal_effects.dtype).itemsize
+        kdim_bytes = (self.num_mix * self.num_pops * self._padded_loci
+                      * itemsize)
+        self._epoch = bool(self._compact and self.scale_se
+                           and kdim_bytes > _EPOCH_STATE_BYTES)
+        self._hist_cap_warned = False
+        if self._epoch:
+            logging.info(
+                'scale_se state uses the epoch-history representation '
+                '(the per-component [K, P, I] state would be %.1f GiB)',
+                kdim_bytes / 2 ** 30)
         self.state = None
 
     def _mesh_ctx(self):
@@ -1497,7 +1960,8 @@ class MultiPopVI:
 
     def vi_mu_chunks(self, st=None, chunk_k=None):
         """Yield vi_mu in [<=chunk_k, P, I] component chunks derived
-        from the compact state (vi_mu_k = sigma_k @ nat_k)."""
+        from the compact state (vi_mu_k = sigma_k @ nat_k; epoch states
+        sum their history — sigma.compact_exprs_epochs)."""
         st = st or self.state
         assert st.nat_mu is not None
         K, P = self.num_mix, self.num_pops
@@ -1507,11 +1971,17 @@ class MultiPopVI:
             chunk_k = max(1, min(K, (256 << 20) // per_k))
         prec = _fetch(self.data.mixture_prec)
         for k0 in range(0, K, chunk_k):
-            nat = (st.nat_mu if st.nat_mu.ndim == 2
-                   else st.nat_mu[k0:k0 + chunk_k])
-            part = _vi_mu_chunk_jit(prec[k0:k0 + chunk_k],
-                                    self.data.scaled_ld_diags,
-                                    st.error_scaling, nat)
+            if st.nat_hist is not None:
+                part = _vi_mu_chunk_epoch_jit(
+                    prec[k0:k0 + chunk_k], self.data.scaled_ld_diags,
+                    st.error_scaling, st.nat_mu, st.nat_hist,
+                    st.nat_hist_scale, st.nat_hist_c)
+            else:
+                nat = (st.nat_mu if st.nat_mu.ndim == 2
+                       else st.nat_mu[k0:k0 + chunk_k])
+                part = _vi_mu_chunk_jit(prec[k0:k0 + chunk_k],
+                                        self.data.scaled_ld_diags,
+                                        st.error_scaling, nat)
             yield _fetch(part)[..., self._out_index]
 
     def _derived_col_chunks(self, st, chunk_i=None):
@@ -1534,11 +2004,19 @@ class MultiPopVI:
                 idx = np.concatenate(
                     [idx, np.full(chunk_i - real, idx[-1],
                                   dtype=idx.dtype)])
-            vd, pm, pv = _derived_cols_jit(
-                self.data.mixture_prec, self.data.log_det,
-                st.hyper_delta, st.error_scaling, st.nat_mu,
-                self.data.scaled_ld_diags, self.data.annotations,
-                jnp.asarray(idx))
+            if st.nat_hist is not None:
+                vd, pm, pv = _derived_cols_epoch_jit(
+                    self.data.mixture_prec, self.data.log_det,
+                    st.hyper_delta, st.error_scaling, st.nat_mu,
+                    st.nat_hist, st.nat_hist_scale, st.nat_hist_c,
+                    self.data.scaled_ld_diags, self.data.annotations,
+                    jnp.asarray(idx))
+            else:
+                vd, pm, pv = _derived_cols_jit(
+                    self.data.mixture_prec, self.data.log_det,
+                    st.hyper_delta, st.error_scaling, st.nat_mu,
+                    self.data.scaled_ld_diags, self.data.annotations,
+                    jnp.asarray(idx))
             yield (_fetch(vd)[:real], _fetch(pm)[:, :real],
                    _fetch(pv)[:, :real])
 
@@ -1566,6 +2044,7 @@ class MultiPopVI:
             'error_scaling': _fetch(st.error_scaling),
             'scalings': _fetch(self.data.scalings)[:, ix],
         }
+        arrays.update(self._epoch_dump_arrays(st))
         dtype = np.dtype(self.data.marginal_effects.dtype)
         K, P, n = self.num_mix, self.num_pops, self.num_loci
         streams = [
@@ -1585,9 +2064,25 @@ class MultiPopVI:
         K = self.num_mix
         zeros = lambda *s: np.zeros(s, dtype=dtype)  # noqa: E731
         if self._compact:
-            nat_shape = ((self.num_pops, self._padded_loci)
-                         if not self.scale_se
-                         else (K, self.num_pops, self._padded_loci))
+            P, L = self.num_pops, self._padded_loci
+            if self._epoch:
+                B0 = _EPOCH_BUCKETS[0]
+                return VIState(
+                    vi_mu=None, vi_delta=None, nat_grad_vi_delta=None,
+                    sigma=None,
+                    nat_mu=zeros(P, L),
+                    nat_hist=zeros(B0, P, L),
+                    nat_hist_scale=np.ones((B0, P), dtype=dtype),
+                    nat_hist_c=zeros(B0),
+                    nat_hist_n=np.asarray(0, dtype=np.int32),
+                    hyper_delta=zeros(self.num_annotations, K),
+                    error_scaling=error_scaling,
+                    L=np.ones(3, dtype=dtype),
+                    elbo=np.asarray(0., dtype=dtype),
+                    running_elbo_delta=np.asarray(np.nan, dtype=dtype),
+                    num_err=np.asarray(0, dtype=np.int32),
+                )
+            nat_shape = ((P, L) if not self.scale_se else (K, P, L))
             return VIState(
                 vi_mu=None, vi_delta=None, nat_grad_vi_delta=None,
                 sigma=None,
@@ -1641,9 +2136,11 @@ class MultiPopVI:
         vi_mu, vi_delta, hyper, nat_vd, temp_nat = initialize_from_fake_mu(
             self.data, sig, st.error_scaling, fake_mu)
         if self._compact:
-            if self.scale_se:
+            if self.scale_se and not self._epoch:
                 # initialization is K-constant (error_scaling all ones);
                 # the per-component state starts as a plain broadcast
+                # (epoch states instead start with temp_nat as the
+                # current-epoch accumulator and an empty history)
                 temp_nat = jnp.broadcast_to(
                     temp_nat[None], (self.num_mix,) + temp_nat.shape)
             return dataclasses.replace(st, nat_mu=temp_nat,
@@ -1664,6 +2161,35 @@ class MultiPopVI:
         st = self._fresh_state(error_scaling)
         hyper = np.asarray(loaded_checkpoint['hyper_delta'], dtype=dtype)
         ix = self._out_index
+        if self._epoch:
+            files = getattr(loaded_checkpoint, 'files',
+                            loaded_checkpoint)
+            if 'nat_u' not in files:
+                raise ValueError(
+                    'this fit uses the epoch-history scale_se state '
+                    '(the per-component [K, P, I] state would not fit '
+                    'in device memory), but the checkpoint lacks the '
+                    'epoch keys (nat_u/nat_hist/...). Resume from a '
+                    'checkpoint written by this engine, or shrink the '
+                    'problem below the epoch threshold.')
+            P, L = self.num_pops, self._padded_loci
+            u = np.zeros((P, L), dtype=dtype)
+            u[:, ix] = np.asarray(loaded_checkpoint['nat_u'],
+                                  dtype=dtype)
+            hist_in = np.asarray(loaded_checkpoint['nat_hist'],
+                                 dtype=dtype)
+            B = hist_in.shape[0]
+            hist = np.zeros((B, P, L), dtype=dtype)
+            hist[..., ix] = hist_in
+            return dataclasses.replace(
+                st, nat_mu=u, nat_hist=hist,
+                nat_hist_scale=np.asarray(
+                    loaded_checkpoint['nat_hist_scale'], dtype=dtype),
+                nat_hist_c=np.asarray(loaded_checkpoint['nat_hist_c'],
+                                      dtype=dtype),
+                nat_hist_n=np.asarray(loaded_checkpoint['nat_hist_n'],
+                                      dtype=np.int32),
+                hyper_delta=hyper)
         if self._compact and self._stream_big():
             # genome-scale compact resume: the checkpoint's vi_mu member
             # is tens of GB — recover the natural mean(s) in bounded
@@ -1742,6 +2268,11 @@ class MultiPopVI:
     def elbo_value(self, st=None):
         st = st or self.state
         with self._mesh_ctx():
+            if (st.nat_hist is not None and st.vi_mu is None
+                    and self._stream_big()):
+                return float(elbo_epoch_jit(
+                    self.data, st.error_scaling, st.nat_mu, st.nat_hist,
+                    st.nat_hist_scale, st.nat_hist_c, st.hyper_delta))
             if (st.nat_mu is not None and st.vi_mu is None
                     and self._stream_big()):
                 return float(elbo_compact_jit(
@@ -1761,14 +2292,31 @@ class MultiPopVI:
                 'utils/npz_stream.save_npz_stream (fit does this '
                 'automatically)')
         with self._mesh_ctx():
-            st = materialize_state(self.data, st)
+            mat = materialize_state(self.data, st)
+        ix = self._out_index
+        out = {
+            'vi_mu': _fetch(mat.vi_mu)[:, :, ix],
+            'vi_delta': _fetch(mat.vi_delta)[:, ix].T,
+            'hyper_delta': _fetch(mat.hyper_delta),
+            'error_scaling': _fetch(mat.error_scaling),
+            'scalings': _fetch(self.data.scalings)[:, ix],
+        }
+        out.update(self._epoch_dump_arrays(st))
+        return out
+
+    def _epoch_dump_arrays(self, st):
+        """Extra checkpoint keys for epoch-history states: the compact
+        state itself, so genome-scale resume restores it directly
+        instead of recovering a [K, P, I] tensor it cannot hold."""
+        if st.nat_hist is None:
+            return {}
         ix = self._out_index
         return {
-            'vi_mu': _fetch(st.vi_mu)[:, :, ix],
-            'vi_delta': _fetch(st.vi_delta)[:, ix].T,
-            'hyper_delta': _fetch(st.hyper_delta),
-            'error_scaling': _fetch(st.error_scaling),
-            'scalings': _fetch(self.data.scalings)[:, ix],
+            'nat_u': _fetch(st.nat_mu)[:, ix],
+            'nat_hist': _fetch(st.nat_hist)[..., ix],
+            'nat_hist_scale': _fetch(st.nat_hist_scale),
+            'nat_hist_c': _fetch(st.nat_hist_c),
+            'nat_hist_n': np.asarray(_fetch(st.nat_hist_n)),
         }
 
     def _streamed_moments(self, st):
@@ -1824,7 +2372,15 @@ class MultiPopVI:
         if self.mesh is not None:
             from vilma_tpu.parallel import mesh as mesh_mod
             st = mesh_mod.shard_state(st, self.mesh)
-        if st.nat_mu is not None:
+        if st.nat_hist is not None:
+            def _pm(s):
+                return _scaled_posterior_mean_epoch(
+                    self.data, s.error_scaling, s.nat_mu, s.nat_hist,
+                    s.nat_hist_scale, s.nat_hist_c, s.hyper_delta)
+            e0 = elbo_epoch_jit(self.data, st.error_scaling, st.nat_mu,
+                                st.nat_hist, st.nat_hist_scale,
+                                st.nat_hist_c, st.hyper_delta)
+        elif st.nat_mu is not None:
             def _pm(s):
                 return _scaled_posterior_mean_compact(
                     self.data, s.error_scaling, s.nat_mu, s.hyper_delta)
@@ -1852,6 +2408,11 @@ class MultiPopVI:
                 ckp_post_mean = _pm(st)
             st, new_post_mean = outer_step_donated(self.data, st,
                                                    line_search_rate=2.0)
+            if self._epoch:
+                # keep a free epoch slot ahead of the next EM event so
+                # the in-step append never freezes before the hard cap
+                # (bucketed growth: a handful of recompiles per fit)
+                st = self._maybe_grow_hist(st)
             stats = _fetch(_conv_stats(new_post_mean, post_mean,
                                        ckp_post_mean, st.num_err, st.elbo,
                                        st.running_elbo_delta,
@@ -1895,6 +2456,34 @@ class MultiPopVI:
         # stays on the compact path
         self.state = materialize_state(self.data, st)
         return self.state
+
+    def _maybe_grow_hist(self, st):
+        """Grow the epoch buffer to the next bucket once nearly full
+        (host-side; shape change => one recompile per bucket)."""
+        B = st.nat_hist.shape[0]
+        n = int(_fetch(st.nat_hist_n))
+        if n < B - 1:
+            return st
+        if B >= _EPOCH_CAP:
+            if n >= B and not self._hist_cap_warned:
+                logging.warning(
+                    'error-scaling epoch history reached its cap (%d); '
+                    'further EM updates are frozen (the scaling has '
+                    'seen %d re-basings and is effectively converged)',
+                    _EPOCH_CAP, n)
+                self._hist_cap_warned = True
+            return st
+        nb = next(b for b in _EPOCH_BUCKETS if b > B)
+        pad = nb - B
+        with self._mesh_ctx():
+            h, s, c = jax.jit(lambda h, s, c: (
+                jnp.pad(h, ((0, pad), (0, 0), (0, 0))),
+                jnp.pad(s, ((0, pad), (0, 0)), constant_values=1.0),
+                jnp.pad(c, (0, pad))))(st.nat_hist, st.nat_hist_scale,
+                                       st.nat_hist_c)
+        logging.info('epoch history grown %d -> %d slots', B, nb)
+        return dataclasses.replace(st, nat_hist=h, nat_hist_scale=s,
+                                   nat_hist_c=c)
 
     def _dump_info(self, num_its, stats):
         """Per-iteration telemetry (reference _dump_info,

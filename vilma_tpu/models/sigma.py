@@ -312,6 +312,51 @@ def compact_exprs(mixture_prec, diag_term, nat_mu):
         quad=y0 * n0 + y1 * n1 + y2 * n2, quadform=quadform)
 
 
+def compact_exprs_epochs(mixture_prec, diag_term, nat_u, hist_v,
+                         hist_dterms, hist_c):
+    """CompactExprs of the EPOCH-HISTORY scale_se state.
+
+    A scale_se fit's natural means become K-dependent only through the
+    error-scaling EM re-basings (engine._update_error_scaling_compact),
+    and those maps TELESCOPE: (prec_k + d^E)(prec_k + d^{E-1})^{-1} ...
+    (prec_k + d^{e+1})(prec_k + d^e)^{-1} = (prec_k + d^E)(prec_k +
+    d^e)^{-1}. After E EM events the whole [K, P, I] state is therefore
+
+        vi_mu_k = sum_e hist_c[e] * sigma_k^{(e)} @ hist_v[e]
+                  + sigma_k^{(cur)} @ nat_u,
+
+    i.e. E+1 SHARED [P, I] vectors + the scaling history + E scalar
+    coefficients — O(E*P*I) memory instead of O(K*P*I) (26 GiB at 6M
+    SNPs with the 582-component production grid). Exact: the derived
+    vi_mu/vi_delta/ELBO equal the kdim representation's bit-for-float
+    (tests/test_epoch_state.py pins trajectory equality).
+
+    Args:
+        nat_u: [P, I] current-epoch accumulator.
+        hist_v: [B, P, I] historical shared vectors (slots >= the live
+            count carry hist_c == 0 and are inert).
+        hist_dterms: [B, P, I] scaled_ld_diags / hist_scale per epoch.
+        hist_c: [B] coefficients.
+    """
+    K = mixture_prec.shape[0]
+
+    def bk(x):
+        return jnp.broadcast_to(x[None], (K,) + x.shape)
+
+    mu = apply_sigma(mixture_prec, diag_term, bk(nat_u))
+    for e in range(hist_v.shape[0]):
+        mu = mu + hist_c[e] * apply_sigma(mixture_prec, hist_dterms[e],
+                                          bk(hist_v[e]))
+    nat = apply_precision(mixture_prec, diag_term, mu)
+    s = make_summaries(mixture_prec, jnp.zeros(K, dtype=mu.dtype),
+                       diag_term)
+    quad = jnp.einsum('kpi,kpi->ki', mu, nat)
+    quadform = jnp.einsum('kpq,kpi,kqi->ki', mixture_prec, mu, mu)
+    return CompactExprs(mu=mu, diag=s.diag,
+                        log_det_sigma=s.log_det_sigma,
+                        matches=s.matches, quad=quad, quadform=quadform)
+
+
 def sigma_weighted_sum(mixture_prec, diag_term, vi_delta):
     """sum_k vi_delta[k,i] * vi_sigma[k,:,:,i] -> [I,P,P].
 

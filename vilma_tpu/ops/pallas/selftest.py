@@ -136,6 +136,67 @@ def run_prologue_one(P, K, A, I=9000, seed=0, kdim=False):
     return err
 
 
+def epoch_configs():
+    """(P, K, A, B) tiers of the EPOCH-HISTORY prologue kernel
+    (compact_obj.prologue_epochs): every cohort count, the production
+    grid regime (K~600), each epoch bucket size the engine grows
+    through (engine._EPOCH_BUCKETS)."""
+    for P in (1, 2, 3):
+        for K in (18, 600):
+            for B in (4, 16, 48):
+                A = 4
+                if co.shape_supported(P, K, jnp.dtype(jnp.float32),
+                                      epochs=B):
+                    yield P, K, A, B
+
+
+def run_epoch_one(P, K, A, B, I=9000, seed=0):
+    """Compile + run the epoch kernels for one tier vs interpret mode.
+
+    Returns the normalized max error over (post_means, post_vars, kl,
+    delta_sums)."""
+    rng = np.random.default_rng(seed)
+    covs = []
+    for k in range(K):
+        m = rng.standard_normal((P, P))
+        covs.append((m @ m.T + P * np.eye(P))
+                    * np.exp(rng.uniform(-8, -2)))
+    prec = np.linalg.inv(np.asarray(covs))
+    log_det = np.linalg.slogdet(np.asarray(covs))[1]
+    hyper = rng.dirichlet(np.ones(K), size=A)
+    ann = rng.integers(0, A + 1, I)
+    sld = rng.uniform(0.5, 3.0, (P, I))
+    u = rng.standard_normal((P, I)) * 5
+    hist = rng.standard_normal((B, P, I)) * 5
+    inv_scales = rng.uniform(0.7, 1.4, (B + 1, P))
+    hist_c = rng.uniform(0.0, 1.0, B)
+
+    coeffs = co.build_coeffs(jnp.asarray(prec, jnp.float32),
+                             jnp.asarray(log_det, jnp.float32))
+    scores_t = jnp.asarray(
+        (np.log(hyper) - 0.5 * log_det).T, jnp.float32)
+    args = (coeffs, scores_t, jnp.asarray(ann),
+            jnp.asarray(sld, jnp.float32),
+            jnp.asarray(u, jnp.float32),
+            jnp.asarray(hist, jnp.float32),
+            jnp.asarray(inv_scales, jnp.float32),
+            jnp.asarray(hist_c, jnp.float32))
+    pm, pv, kl = co.prologue_epochs(*args, num_annotations=A)
+    pm_i, pv_i, kl_i = co.prologue_epochs(*args, num_annotations=A,
+                                          interpret=True)
+    sm = co.delta_sums_epochs(*args, num_annotations=A)
+    sm_i = co.delta_sums_epochs(*args, num_annotations=A,
+                                interpret=True)
+    err = 0.0
+    for got, want in ((pm, pm_i), (pv, pv_i), (sm, sm_i)):
+        scale = np.max(np.abs(np.asarray(want))) + 1e-30
+        err = max(err, float(np.max(np.abs(np.asarray(got)
+                                           - np.asarray(want))) / scale))
+    err = max(err, abs(float(kl) - float(kl_i))
+              / (abs(float(kl_i)) + 1e-30))
+    return err
+
+
 _TOL_PROLOGUE = 1e-4   # f32 kernel vs f32 interpret: transcendental and
 #                        reduction reassociation noise on ~1e5-scale sums
 
@@ -167,6 +228,21 @@ def run_selftest(verbose=print):
                     f'err={err:.3e} {"ok" if ok else "FAIL"}')
         if not ok:
             failures.append(f'{tag} P={P} K={K} A={A}: err {err:.3e} '
+                            f'(tol {_TOL_PROLOGUE:.0e})')
+    for P, K, A, B in epoch_configs():
+        try:
+            err = run_epoch_one(P, K, A, B)
+        except Exception as exc:          # Mosaic compile rejection
+            failures.append(f'epochs P={P} K={K} B={B}: '
+                            f'{type(exc).__name__}: {exc}')
+            continue
+        results.append((P, K, f'epochs_B{B}', err))
+        ok = err <= _TOL_PROLOGUE
+        if verbose:
+            verbose(f'selftest epochs    P={P} K={K:4d} B={B:3d} '
+                    f'err={err:.3e} {"ok" if ok else "FAIL"}')
+        if not ok:
+            failures.append(f'epochs P={P} K={K} B={B}: err {err:.3e} '
                             f'(tol {_TOL_PROLOGUE:.0e})')
     for pmax, rmax, dtype in configs():
         name = jnp.dtype(dtype).name

@@ -76,6 +76,10 @@ def _specs(comp):
         # VIState
         ('VIState', 'vi_mu'): P(comp, None, 'snp'),
         ('VIState', 'nat_mu'): P(None, 'snp'),
+        ('VIState', 'nat_hist'): P(None, None, 'snp'),
+        ('VIState', 'nat_hist_scale'): P(),
+        ('VIState', 'nat_hist_c'): P(),
+        ('VIState', 'nat_hist_n'): P(),
         ('VIState', 'vi_delta'): P(comp, 'snp'),
         ('VIState', 'hyper_delta'): P(None, comp),
         ('VIState', 'error_scaling'): P(),

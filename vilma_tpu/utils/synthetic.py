@@ -61,11 +61,15 @@ def synthetic_problem(num_loci=1024, num_pops=2, num_components=8,
     return data
 
 
-def synthetic_state(data, seed=0, compact=False):
+def synthetic_state(data, seed=0, compact=False, epoch_b=None):
     """A fresh VIState for `data` (random but well-formed init).
 
     compact=True builds the [P, I] natural-mean representation (the
-    production fast path for non-scale_se fits; see engine.VIState)."""
+    production fast path for non-scale_se fits; see engine.VIState).
+    epoch_b (scale_se only): build the EPOCH-HISTORY representation
+    with a B=epoch_b buffer instead of the kdim [K, P, I] state — the
+    production path for grid-scale scale_se fits
+    (sigma.compact_exprs_epochs)."""
     import dataclasses
     import jax.numpy as jnp
     from vilma_tpu.models import sigma as sigma_mod
@@ -76,6 +80,28 @@ def synthetic_state(data, seed=0, compact=False):
     A = data.num_annotations
     rng = np.random.default_rng(seed)
     error_scaling = jnp.ones(P, dtype=dtype)
+    if compact and epoch_b and data.scale_se:
+        hyper = rng.uniform(0.1, 1.0, (A, K))
+        hyper /= hyper.sum(axis=1, keepdims=True)
+        st = engine.VIState(
+            vi_mu=None, vi_delta=None, nat_grad_vi_delta=None, sigma=None,
+            nat_mu=jnp.asarray(rng.standard_normal((P, I)) * 1e-2,
+                               dtype=dtype),
+            nat_hist=jnp.zeros((epoch_b, P, I), dtype=dtype),
+            nat_hist_scale=jnp.ones((epoch_b, P), dtype=dtype),
+            nat_hist_c=jnp.zeros(epoch_b, dtype=dtype),
+            nat_hist_n=jnp.asarray(0, dtype=jnp.int32),
+            hyper_delta=jnp.asarray(hyper, dtype=dtype),
+            error_scaling=error_scaling,
+            L=jnp.ones(3, dtype=dtype),
+            elbo=jnp.asarray(0., dtype=dtype),
+            running_elbo_delta=jnp.asarray(np.nan, dtype=dtype),
+            num_err=jnp.asarray(0, dtype=jnp.int32),
+        )
+        e0 = engine.elbo_epoch_jit(data, st.error_scaling, st.nat_mu,
+                                   st.nat_hist, st.nat_hist_scale,
+                                   st.nat_hist_c, st.hyper_delta)
+        return dataclasses.replace(st, elbo=e0)
     if compact:
         # scale_se fits carry per-component [K, P, I] natural means
         # (engine.VIState docstring); others share one [P, I] mean
