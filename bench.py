@@ -246,7 +246,11 @@ def _make_covs(rng, P, betas, std_errs):
         from vilma_tpu.models import mixture
         np.random.seed(42)       # make_simple draws from the global RNG
         mins, maxes = mixture.effect_size_ranges(betas, std_errs, False)
-        covs = mixture.make_simple(P, GRID_K, mins, maxes)
+        # 3-cohort grids need `fit --drop-non-psd`: the reference's grid
+        # formula yields infeasible pairwise-correlation combinations at
+        # P >= 3 (its own CLI cannot run them; see mixture.make_simple)
+        covs = mixture.make_simple(P, GRID_K, mins, maxes,
+                                   drop_non_psd=(P >= 3))
         print(f'BENCH_GRID=cli: {len(covs)} mixture components '
               f'(-K {GRID_K}, {P} cohorts)', flush=True)
         return covs

@@ -158,3 +158,34 @@ def test_sim_gwas_statistics():
                   < np.sqrt(np.diag(var)) / np.sqrt(reps) * 5)
     err = np.sqrt(np.outer(np.diag(var), np.diag(var)))
     assert np.all(np.abs(np.cov(beta_hats) - var) < err * 5 / np.sqrt(reps))
+
+
+def test_make_simple_drop_non_psd():
+    """The P>=3 grid contains infeasible pairwise-correlation
+    combinations (reference vi_options.py:309-310 products them
+    independently); drop_non_psd removes exactly those without
+    disturbing the RNG stream, and is a no-op at P=2 where every
+    pairwise correlation in (-1, 1) is PSD."""
+    from vilma_tpu.models import mixture
+
+    mins, maxes = np.full(3, 1e-5), np.full(3, 1e-2)
+    np.random.seed(7)
+    full = mixture.make_simple(3, 4, mins, maxes)
+    np.random.seed(7)
+    kept = mixture.make_simple(3, 4, mins, maxes, drop_non_psd=True)
+
+    full_min_eig = np.linalg.eigvalsh(np.array(full))[:, 0]
+    assert np.any(full_min_eig <= 0), 'P=3 grid should be infeasible'
+    assert 0 < len(kept) < len(full)
+    assert np.all(np.linalg.eigvalsh(np.array(kept))[:, 0] > 0)
+    # same RNG stream: the kept members are exactly the PSD subsequence
+    expected = [c for c, e in zip(full, full_min_eig) if e > 0]
+    assert all(np.array_equal(a, b) for a, b in zip(kept, expected))
+
+    np.random.seed(7)
+    full2 = mixture.make_simple(2, 4, mins[:2], maxes[:2])
+    np.random.seed(7)
+    kept2 = mixture.make_simple(2, 4, mins[:2], maxes[:2],
+                                drop_non_psd=True)
+    assert len(full2) == len(kept2)
+    assert all(np.array_equal(a, b) for a, b in zip(full2, kept2))

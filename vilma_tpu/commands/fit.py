@@ -148,6 +148,21 @@ def args(super_parser):
                              'an accelerator (measured 2.4x per outer '
                              'iteration at 1M SNPs; see PARITY.md '
                              'round-3 findings).')
+    parser.add_argument('--drop-non-psd', action='store_true',
+                        help='Drop mixture-grid components whose '
+                             'covariance is not positive definite. At '
+                             '3+ cohorts the default grid products the '
+                             'pairwise correlations independently '
+                             '(reference vi_options.py:309-310), so '
+                             'some combinations are infeasible and the '
+                             'PSD validation rejects the whole grid — '
+                             'the reference CLI cannot run a 3-cohort '
+                             'fit at all. With this flag the grid is '
+                             'drawn identically (same RNG stream) and '
+                             'the infeasible members are removed '
+                             '(logged); 2-cohort grids are unaffected '
+                             '(every pairwise correlation in (-1, 1) '
+                             'is PSD at P=2).')
     parser.add_argument('--no-save-vi-sigma', dest='save_vi_sigma',
                         action='store_false',
                         help='Skip the vi_sigma array in the output '
@@ -375,8 +390,9 @@ def main(args):
         logging.info('Building cross-population covariances...')
         mins, maxes = mixture.effect_size_ranges(betas, std_errs,
                                                  args.scaled)
-        cross_pop_covs = mixture.make_simple(num_pops, args.components,
-                                             mins, maxes)
+        cross_pop_covs = mixture.make_simple(
+            num_pops, args.components, mins, maxes,
+            drop_non_psd=args.drop_non_psd)
         with open('%s.covariance.pkl' % args.output, 'wb') as ofile:
             pickle.dump([cross_pop_covs], ofile)
 

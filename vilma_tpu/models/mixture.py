@@ -29,11 +29,23 @@ def make_diag_vals(num_pops, num_components, mins, maxes):
     return diag_vals
 
 
-def make_simple(num_pops, num_components, mins, maxes):
+def make_simple(num_pops, num_components, mins, maxes,
+                drop_non_psd=False):
     """Full covariance grid (vi_options.py:301-337).
 
     Draws from the global numpy RNG (three diagonal rescalings per grid
     point) in the same order as the reference so seeded runs match.
+
+    drop_non_psd: at 3+ cohorts the reference's grid is infeasible as
+    specified — it products the pairwise correlations independently
+    (vi_options.py:309-310), so combinations like (rho12, rho13, rho23)
+    = (0.99, 0.99, -0.99) produce non-positive-definite matrices, which
+    its own validation then rejects (variational_inference.py:610-613):
+    the reference CLI cannot actually run a 3-cohort fit with its
+    default grid. With drop_non_psd=True the full grid is drawn first
+    (identical RNG stream — filtering consumes no draws) and the
+    non-PSD members are then removed, making multi-cohort grids
+    runnable. Default False preserves exact reference behavior.
     """
     cross_pop_covs = []
     diag_vals = make_diag_vals(num_pops, num_components, mins, maxes)
@@ -64,6 +76,24 @@ def make_simple(num_pops, num_components, mins, maxes):
                     scale = np.diag(
                         np.sqrt(np.exp(np.random.uniform(-1, 1, num_pops))))
                     cross_pop_covs.append(scale.dot(mat.dot(scale)))
+    if drop_non_psd:
+        # eigvalsh, not slogdet-sign: at 3+ cohorts an indefinite matrix
+        # with an even number of negative eigenvalues has positive
+        # determinant and would slip through the determinant-sign check
+        # (the engine's validation mirrors the reference's slogdet test,
+        # variational_inference.py:610-613, which has the same blind
+        # spot; everything kept here passes it a fortiori)
+        min_eig = np.linalg.eigvalsh(np.array(cross_pop_covs))[:, 0]
+        kept = [c for c, e in zip(cross_pop_covs, min_eig) if e > 0]
+        if len(kept) < len(cross_pop_covs):
+            import logging
+            logging.info(
+                'Dropped %d of %d grid components with non-positive-'
+                'definite covariances (infeasible pairwise-correlation '
+                'combinations at %d cohorts).',
+                len(cross_pop_covs) - len(kept), len(cross_pop_covs),
+                num_pops)
+        return kept
     return cross_pop_covs
 
 
