@@ -742,6 +742,8 @@ def _objective_compact(data, st, nat_mu, hyper_delta):
             data.ld_ranks, st.error_scaling)
         return ll - beta_kl, post_means, linked_ests
 
+    if nat_mu.ndim == 2 and _use_chunked(data, nat_mu):
+        return _objective_chunked(data, st, nat_mu, hyper_delta)
     dterm = _diag_term(data, st.error_scaling)
     ex = sigma_mod.compact_exprs(data.mixture_prec, dterm, nat_mu)
     return _objective_from_exprs(data, st.error_scaling, ex, hyper_delta)
@@ -786,6 +788,218 @@ def _objective_from_exprs(data, error_scaling, ex, hyper_delta):
     return obj, post_means, linked_ests
 
 
+# ---------------------------------------------------------------------------
+# K-chunked compact evaluation (unbounded mixture-grid size)
+#
+# The XLA-staged compact routes above materialize [K, I]-shaped
+# CompactExprs members; at production grids that is the single-chip
+# ceiling (a 3-cohort -K 12 grid has 42,999 PSD components — one
+# f32[K, I] buffer is 17 GB at 100K SNPs). But every K-reduction the
+# objective needs is a softmax-weighted sum over components, so it can
+# be accumulated ONE K-chunk at a time with the online-softmax
+# rescaling identity (running max m, running sum s; all accumulators
+# rescaled by exp(m_old - m_new) when the max advances). Exact up to
+# float reassociation and the epsilon probability clamp
+# (kernels.invert_nat_cat_2D clamps vi_delta at ~1e-30 in f32; the
+# chunked route uses the pure softmax — the difference is bounded by
+# K * eps * max|term|, below evaluation noise). Memory: O(kc * I)
+# temporaries + O(P * I) accumulators, independent of K.
+# ---------------------------------------------------------------------------
+
+# compact fits whose [K, I] staging buffers would exceed this use the
+# K-chunked evaluation (only reachable when the fused Mosaic prologue
+# is unavailable — it bails above K ~ 900 where the whole component
+# axis no longer fits VMEM; see ops/pallas/compact_obj._pick_tile).
+# VILMA_XLA_KI_CHUNK_BYTES overrides (0 forces chunking everywhere).
+_XLA_KI_CHUNK_BYTES = int(_os.environ.get('VILMA_XLA_KI_CHUNK_BYTES',
+                                          1 << 30))
+
+
+def _use_chunked(data, nat_mu):
+    K = data.mixture_prec.shape[0]
+    I = data.annotations.shape[0]
+    itemsize = jnp.dtype(nat_mu.dtype).itemsize
+    return K > 128 and K * I * itemsize > _XLA_KI_CHUNK_BYTES
+
+
+def _chunk_kc(K, I, itemsize):
+    """Chunk width: ~8 [kc, I] temporaries per chunk body within the
+    chunking budget, 128-multiple for TPU lane alignment."""
+    kc = max(1, _XLA_KI_CHUNK_BYTES) // (8 * I * itemsize)
+    return int(max(128, min(kc // 128 * 128, 4096)))
+
+
+def _chunked_padded_tables(data, hyper_delta, dtype, kc):
+    """(prec, logdet, scores) with K padded to a kc multiple. Padded
+    components carry identity precision and a score of finfo.min/2:
+    exp(score - m) is exactly 0, and 0 * score stays finite, so they
+    are inert in every accumulator."""
+    K, P = data.mixture_prec.shape[:2]
+    C = -(-K // kc)
+    prec = data.mixture_prec
+    logdet = data.log_det
+    scores = (jnp.log(hyper_delta).astype(dtype)
+              - 0.5 * logdet.astype(dtype))                 # [A, K]
+    pad = C * kc - K
+    if pad:
+        prec = jnp.concatenate(
+            [prec, jnp.broadcast_to(jnp.eye(P, dtype=prec.dtype)[None],
+                                    (pad, P, P))], axis=0)
+        logdet = jnp.concatenate(
+            [logdet, jnp.zeros(pad, dtype=logdet.dtype)])
+        neg = jnp.asarray(jnp.finfo(dtype).min / 2, dtype)
+        scores = jnp.concatenate(
+            [scores, jnp.full((scores.shape[0], pad), neg, dtype)],
+            axis=1)
+    return C, prec, logdet, scores
+
+
+def _chunk_select(table, annotations, I):
+    """SEL[k, i] = table[a_i, k] for a [A, kc] chunk table, as A masked
+    broadcasts (the axis-1 gather poisons the K-minor layout — see
+    kernels.fast_delta_kl); annotations >= A select row A-1, matching
+    kernels.fast_vi_delta_grad."""
+    A = table.shape[0]
+    out = jnp.broadcast_to(table.T[:, A - 1:A], (table.shape[1], I))
+    for a in range(A - 1):
+        out = jnp.where(annotations[None, :] == a, table.T[:, a:a + 1],
+                        out)
+    return out
+
+
+def _chunked_moments(data, st, nat_u, hyper_delta, hist_c=None):
+    """Online-softmax K-chunked accumulation of every K-reduction the
+    compact objective needs. nat_u is the K-shared [P, I] natural mean
+    (plain compact state, hist_c None) or the epoch accumulator (epoch
+    state, hist_c set — per-component exprs from the shared history).
+
+    Returns (post_means, post_vars, delta_comp, inner, cov_comp) — the
+    same quantities `_objective_from_exprs` derives from materialized
+    [K, I] exprs, with O(kc * I) peak memory."""
+    dtype = nat_u.dtype
+    K, P = data.mixture_prec.shape[:2]
+    I = data.annotations.shape[0]
+    kc = _chunk_kc(K, I, jnp.dtype(dtype).itemsize)
+    C, prec, logdet, scores = _chunked_padded_tables(data, hyper_delta,
+                                                     dtype, kc)
+    dterm = _diag_term(data, st.error_scaling)
+    hist_dt = _hist_dterms(data, st) if hist_c is not None else None
+    ann = data.annotations
+
+    def chunk_exprs(c):
+        pc = jax.lax.dynamic_slice_in_dim(prec, c * kc, kc, axis=0)
+        ldc = jax.lax.dynamic_slice_in_dim(logdet, c * kc, kc, axis=0)
+        sc = jax.lax.dynamic_slice_in_dim(scores, c * kc, kc, axis=1)
+        if hist_c is not None:
+            ex = sigma_mod.compact_exprs_epochs(pc, dterm, nat_u,
+                                                st.nat_hist, hist_dt,
+                                                hist_c)
+        else:
+            ex = sigma_mod.compact_exprs(pc, dterm, nat_u)
+        selsc = _chunk_select(sc, ann, I)                   # [kc, I]
+        r = 0.5 * (ex.log_det_sigma + ex.quad) + selsc      # [kc, I]
+        return ex, ldc, selsc, r
+
+    def body(carry, c):
+        m, s, pm, sec, qf, ssn, rn, lhn = carry
+        ex, ldc, selsc, r = chunk_exprs(c)
+        nm = jnp.maximum(m, jnp.max(r, axis=0))
+        scale = jnp.exp(m - nm)
+        w = jnp.exp(r - nm[None, :])                        # [kc, I]
+        sel_lh = selsc + 0.5 * ldc.astype(dtype)[:, None]   # log hyper
+        ss = (ldc[:, None] - ex.log_det_sigma + ex.matches)
+        return ((nm,
+                 s * scale + jnp.sum(w, axis=0),
+                 pm * scale[None] + jnp.einsum('kpi,ki->pi', ex.mu, w),
+                 sec * scale[None] + jnp.einsum('kpi,ki->pi',
+                                                ex.diag + ex.mu ** 2, w),
+                 qf * scale + jnp.sum(ex.quadform * w, axis=0),
+                 ssn * scale + jnp.sum(ss * w, axis=0),
+                 rn * scale + jnp.sum(r * w, axis=0),
+                 lhn * scale + jnp.sum(sel_lh * w, axis=0)), None)
+
+    zi = jnp.zeros(I, dtype=dtype)
+    zpi = jnp.zeros((P, I), dtype=dtype)
+    init = (jnp.full(I, -jnp.inf, dtype=dtype), zi, zpi, zpi, zi, zi,
+            zi, zi)
+    (m, s, pm, sec, qf, ssn, rn, lhn), _ = jax.lax.scan(
+        body, init, jnp.arange(C))
+
+    inv_s = 1.0 / s
+    post_means = pm * inv_s[None]
+    post_vars = sec * inv_s[None] - post_means ** 2
+    real = ann < data.num_annotations
+    # sum_k w_k log w_k = (sum_k w_k r_k)/s - (m + log s); the hyper
+    # term is (sum_k w_k log hyper[a_i, k])/s (fast_delta_kl semantics)
+    ent_minus_hyper = rn * inv_s - m - jnp.log(s) - lhn * inv_s
+    delta_comp = jnp.sum(jnp.where(real, ent_minus_hyper, 0.0))
+    inner = 0.5 * jnp.sum(jnp.where(real, qf * inv_s, 0.0))
+    cov_comp = 0.5 * jnp.sum(jnp.where(real, ssn * inv_s, 0.0))
+    return post_means, post_vars, delta_comp, inner, cov_comp
+
+
+def _objective_chunked(data, st, nat_u, hyper_delta, hist_c=None):
+    """(objective, post_means, linked) via `_chunked_moments` — the
+    K-chunked twin of `_objective_from_exprs`."""
+    post_means, post_vars, delta_comp, inner, cov_comp = \
+        _chunked_moments(data, st, nat_u, hyper_delta, hist_c=hist_c)
+    scaled_mu, linked_ests = _ld_scaled_dot(data, post_means)
+    ll = kernels.fast_likelihood(post_means, post_vars, scaled_mu,
+                                 data.scaled_ld_diags, linked_ests,
+                                 data.adj_marginal_effects,
+                                 data.chi_stat, data.ld_ranks,
+                                 st.error_scaling)
+    return ll - (delta_comp + inner + cov_comp), post_means, linked_ests
+
+
+def _delta_sums_chunked(data, st, nat_u, hyper_delta, hist_c=None):
+    """sum_annotations of the derived vi_delta, K-chunked: pass 1 runs
+    the online-softmax scan for (m, s); pass 2 re-derives each chunk's
+    weights and accumulates the [A, kc] segment sums."""
+    dtype = nat_u.dtype
+    K, P = data.mixture_prec.shape[:2]
+    I = data.annotations.shape[0]
+    A = data.num_annotations
+    kc = _chunk_kc(K, I, jnp.dtype(dtype).itemsize)
+    C, prec, logdet, scores = _chunked_padded_tables(data, hyper_delta,
+                                                     dtype, kc)
+    dterm = _diag_term(data, st.error_scaling)
+    hist_dt = _hist_dterms(data, st) if hist_c is not None else None
+    ann = data.annotations
+    one_hot = (ann[:, None] == jnp.arange(A + 1)[None, :]).astype(dtype)
+
+    def chunk_r(c):
+        pc = jax.lax.dynamic_slice_in_dim(prec, c * kc, kc, axis=0)
+        sc = jax.lax.dynamic_slice_in_dim(scores, c * kc, kc, axis=1)
+        if hist_c is not None:
+            ex = sigma_mod.compact_exprs_epochs(pc, dterm, nat_u,
+                                                st.nat_hist, hist_dt,
+                                                hist_c)
+        else:
+            ex = sigma_mod.compact_exprs(pc, dterm, nat_u)
+        return (0.5 * (ex.log_det_sigma + ex.quad)
+                + _chunk_select(sc, ann, I))
+
+    def pass1(carry, c):
+        m, s = carry
+        r = chunk_r(c)
+        nm = jnp.maximum(m, jnp.max(r, axis=0))
+        return (nm, s * jnp.exp(m - nm) + jnp.sum(jnp.exp(r - nm),
+                                                  axis=0)), None
+
+    (m, s), _ = jax.lax.scan(
+        pass1, (jnp.full(I, -jnp.inf, dtype=dtype),
+                jnp.zeros(I, dtype=dtype)), jnp.arange(C))
+    log_denom = m + jnp.log(s)
+
+    def pass2(_, c):
+        w = jnp.exp(chunk_r(c) - log_denom[None, :])        # [kc, I]
+        return None, jnp.einsum('ki,ia->ak', w, one_hot)[:A]
+
+    _, sums = jax.lax.scan(pass2, None, jnp.arange(C))      # [C, A, kc]
+    return jnp.moveaxis(sums, 0, 1).reshape(A, C * kc)[:, :K]
+
+
 def _hist_dterms(data, st):
     """[B, P, I] per-epoch diag terms of the epoch history (lazy
     broadcast; inert slots carry scale 1)."""
@@ -815,6 +1029,9 @@ def _objective_epoch(data, st, nat_u, hist_c, hyper_delta):
             linked_ests, data.adj_marginal_effects, data.chi_stat,
             data.ld_ranks, st.error_scaling)
         return ll - beta_kl, post_means, linked_ests
+    if _use_chunked(data, nat_u):
+        return _objective_chunked(data, st, nat_u, hyper_delta,
+                                  hist_c=hist_c)
     ex = _epoch_exprs(data, st, nat_u, hist_c)
     return _objective_from_exprs(data, st.error_scaling, ex, hyper_delta)
 
@@ -920,6 +1137,9 @@ def _update_hyper_delta_compact(data, st, orig_obj):
     if use_pk and (interp or _prologue_supported(data, st.nat_mu)):
         new_hd = _delta_sums_fused(data, st.error_scaling, st.nat_mu,
                                    st.hyper_delta, interp)
+    elif st.nat_mu.ndim == 2 and _use_chunked(data, st.nat_mu):
+        new_hd = _delta_sums_chunked(data, st, st.nat_mu,
+                                     st.hyper_delta)
     else:
         _, _, vi_delta = _derive_params(data, st.error_scaling,
                                         st.nat_mu, st.hyper_delta)
@@ -1087,6 +1307,9 @@ def _delta_sums_epoch(data, st, hyper_delta, use_fused, interp):
         return _epoch_delta_sums_fused(data, st, st.nat_mu,
                                        st.nat_hist_c, hyper_delta,
                                        interp)
+    if _use_chunked(data, st.nat_mu):
+        return _delta_sums_chunked(data, st, st.nat_mu, hyper_delta,
+                                   hist_c=st.nat_hist_c)
     ex = _epoch_exprs(data, st, st.nat_mu, st.nat_hist_c)
     natvd = kernels.fast_vi_delta_grad(hyper_delta, data.log_det,
                                        data.annotations)
@@ -1130,6 +1353,9 @@ def _update_error_scaling_epoch(data, st, orig_obj, post_means, linked):
                    or _epoch_prologue_supported(data, st, st.nat_mu)):
         _, post_vars, _ = _epoch_prologue_fused(
             data, st, st.nat_mu, st.nat_hist_c, st.hyper_delta, interp)
+    elif _use_chunked(data, st.nat_mu):
+        _, post_vars, _, _, _ = _chunked_moments(
+            data, st, st.nat_mu, st.hyper_delta, hist_c=st.nat_hist_c)
     else:
         ex = _epoch_exprs(data, st, st.nat_mu, st.nat_hist_c)
         natvd = kernels.fast_vi_delta_grad(st.hyper_delta, data.log_det,
