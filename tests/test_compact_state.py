@@ -283,19 +283,24 @@ def test_scale_se_resume_bounded_memory(tmp_path):
     import subprocess
     import sys
 
-    def run(mode):
+    def run(mode, headroom_mb):
         env = dict(os.environ)
         env['PYTHONPATH'] = (os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))) + os.pathsep
             + env.get('PYTHONPATH', ''))
         return subprocess.run(
-            [sys.executable, '-c', _RESUME_WORKER, '96', mode,
-             str(tmp_path)],
+            [sys.executable, '-c', _RESUME_WORKER, str(headroom_mb),
+             mode, str(tmp_path)],
             capture_output=True, text=True, timeout=600, env=env)
 
-    out = run('streamed')
+    # the streamed leg gets 112 MB of headroom (64 MiB device state +
+    # 4 MiB chunks + allocator slack — the slack varies with system
+    # load, which flaked the leg at 96 under a concurrent benchmark);
+    # the materialized leg keeps the tighter 96 MB cap, which its
+    # >= 128 MiB double-buffering must still exceed
+    out = run('streamed', 112)
     assert out.stdout.startswith('OK'), (out.stdout, out.stderr[-2000:])
-    out2 = run('materialized')
+    out2 = run('materialized', 96)
     assert not out2.stdout.startswith('OK'), (
         'RAM cap did not constrain the materialized resume; '
         'test is vacuous')
