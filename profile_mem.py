@@ -80,16 +80,27 @@ def main():
     # BENCH_SCALE_SE=1 profiles the --learn-scaling program (compact
     # per-component [K, P, I] state); PROFILE_COMPACT=0 opts back into
     # the materialized state (the pre-round-3 program shape).
+    # match bench.accel_main: the production program runs with the fused
+    # Mosaic kernels on (BENCH_PALLAS=0 profiles the XLA fallback)
+    if os.environ.get('BENCH_PALLAS', '1') != '0':
+        from vilma_tpu.ops import blocks
+        blocks.enable_pallas(True)
     compact = os.environ.get('PROFILE_COMPACT', '1') == '1'
+    # PROFILE_K overrides the component count (e.g. 582 profiles the
+    # production-CLI-grid program shape); with BENCH_SCALE_SE=1 the
+    # state representation follows the engine's own kdim-vs-epoch rule
+    # at the BIG SNP count (bench._epoch_b)
+    K = int(os.environ.get('PROFILE_K', '0')) or bench.NUM_COMPONENTS
     cpu = jax.devices('cpu')[0]
     with jax.default_device(cpu):
         data = synthetic.synthetic_problem(
             num_loci=SMALL_I, num_pops=2,
-            num_components=bench.NUM_COMPONENTS,
+            num_components=K,
             block_size=bench.BLOCK_SIZE, num_annotations=4,
             dtype=np.float32, rank_frac=bench.RANK_FRAC,
             scale_se=bench.SCALE_SE)
-        state = synthetic.synthetic_state(data, compact=compact)
+        state = synthetic.synthetic_state(
+            data, compact=compact, epoch_b=bench._epoch_b(np.float32, K))
 
     # one UNIQUE LD parameter (both populations index it via ld_index,
     # matching build_model_data's identity dedup)

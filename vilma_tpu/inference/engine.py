@@ -824,9 +824,12 @@ def _use_chunked(data, nat_mu):
 
 def _chunk_kc(K, I, itemsize):
     """Chunk width: ~8 [kc, I] temporaries per chunk body within the
-    chunking budget, 128-multiple for TPU lane alignment."""
+    chunking budget. kc is the SUBLANE-major axis of the [kc, I] chunk
+    tiles (I is on lanes), so a multiple of 8 suffices — a 128 floor
+    would blow the budget ~20x at 6M SNPs (8 x 128 x 6M x 4 B = 24 GB
+    of scan-body temporaries; measured as a 67 GB compile-time OOM)."""
     kc = max(1, _XLA_KI_CHUNK_BYTES) // (8 * I * itemsize)
-    return int(max(128, min(kc // 128 * 128, 4096)))
+    return int(max(8, min(kc // 8 * 8, 4096)))
 
 
 def _chunked_padded_tables(data, hyper_delta, dtype, kc):
